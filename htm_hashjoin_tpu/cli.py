@@ -1,0 +1,77 @@
+"""CLI driver — the main.cpp / mc/src/main.c equivalent.
+
+Flag surface mirrors reference main.cpp:43-71 (defaults main.cpp:78-85) plus
+the mc getopt_long flags (mc/src/main.c:492-608) where they add capability
+(--sSize, --zipfParam, --nthreads→--meshShape).  Emits one JSON line per run
+on stdout, same schema as the reference (HTMHashBuild.hpp:417-449).
+
+Usage:
+    python -m htm_hashjoin_tpu.cli --algo htm --rSize $((2**20)) --dataDistr local_shuffle
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import Algo, Distribution, JoinConfig
+from .data.generators import build_relations
+from .joins import DISPATCH
+
+
+def parse_args(argv=None) -> JoinConfig:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--algo", default="htm", choices=[a.value for a in Algo])
+    p.add_argument("--rSize", type=int, default=1 << 20)
+    p.add_argument("--sSize", type=int, default=None)
+    p.add_argument("--transactionSize", type=int, default=16)
+    p.add_argument("--probeLength", type=int, default=4)  # NB: reference main.cpp:53-54 bug (wrote dataDistr) not replicated
+    p.add_argument("--dataDistr", default="sorted",
+                   choices=[d.value for d in Distribution])
+    p.add_argument("--shuffleRange", type=int, default=16)
+    p.add_argument("--scaleOutput", type=int, default=2)
+    p.add_argument("--numPartitions", type=int, default=64)
+    p.add_argument("--distinctKeys", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--zipfParam", type=float, default=0.75)
+    p.add_argument("--radixBits", type=int, default=14)
+    p.add_argument("--radixPasses", type=int, default=2)
+    p.add_argument("--noProbe", action="store_true",
+                   help="build-only (ENABLE_PROBE off)")
+    p.add_argument("--noRetry", action="store_true",
+                   help="skip failed-insert repair (noretry binary variant)")
+    p.add_argument("--track", action="store_true",
+                   help="per-chunk failure histograms (TM_TRACK)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="adaptive chunk-size stats (HTM_ADAPTIVE)")
+    p.add_argument("--skewHandling", action="store_true")
+    p.add_argument("--meshShape", type=str, default="",
+                   help="comma-separated mesh, e.g. '8' for 8-way data parallel")
+    a = p.parse_args(argv)
+    return JoinConfig(
+        algo=Algo(a.algo), r_size=a.rSize, s_size=a.sSize,
+        transaction_size=a.transactionSize, probe_length=a.probeLength,
+        data_distr=Distribution(a.dataDistr), shuffle_range=a.shuffleRange,
+        scale_output=a.scaleOutput, num_partitions=a.numPartitions,
+        distinct_keys=a.distinctKeys, seed=a.seed, zipf_param=a.zipfParam,
+        radix_bits=a.radixBits, radix_passes=a.radixPasses,
+        enable_probe=not a.noProbe, retry=not a.noRetry, track=a.track,
+        adaptive=a.adaptive, skew_handling=a.skewHandling,
+        mesh_shape=tuple(int(x) for x in a.meshShape.split(",") if x),
+    )
+
+
+def main(argv=None) -> int:
+    cfg = parse_args(argv)
+    r, s = build_relations(cfg)
+    if cfg.mesh_shape:
+        from .parallel.dist_join import distributed_join
+        metrics = distributed_join(r, s, cfg)
+    else:
+        metrics = DISPATCH[cfg.algo.value](r, s, cfg)
+    print(metrics.to_json_line())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,3 @@
+from . import generators
+
+__all__ = ["generators"]

@@ -1,0 +1,202 @@
+"""Synthetic relation generators.
+
+Re-expresses the reference's three generator stacks —
+`generate_data` (include/DataGen.hpp:26-122), the mc generator
+(mc/src/generator.c:240-538 + genzipf.c:97-158) and Wisconsin's
+`WriteTable::generate` (mc/wisconsin-src/table.cpp:206-233) — as seeded JAX
+programs.  The reference used libc `rand()` with `srand(0)`
+(DataGen.hpp:27); bit-exact replication of libc streams is explicitly NOT a
+goal (SURVEY.md §7 hard part (c)).  Instead we fix the *invariants* the
+reference's validation relies on:
+
+  * pk/sorted/shuffle/local_shuffle relations are exact permutations of 1..N
+    (so inputSum == N(N+1)/2 and PK⋈self match count == N),
+  * local_shuffle displaces each element at most `window` positions
+    (the locality knob — DataGen.hpp:96-115, generator.c:95-110),
+  * fk_from_pk emits every PK key floor(S/R) or ceil(S/R) times
+    (generator.c:458-491), so match count == s_size exactly,
+  * zipf draws from a permuted alphabet via CDF inversion (genzipf.c:97-158),
+  * determinism under a fixed integer seed (jax.random, threefry).
+
+All generators are jittable and produce int32 keys >= 1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Distribution, JoinConfig
+from ..relation import KEY_DTYPE, Relation
+
+
+def _key(seed: int, *salts: int) -> jax.Array:
+    k = jax.random.PRNGKey(seed)
+    for s in salts:
+        k = jax.random.fold_in(k, s)
+    return k
+
+
+# ---------------------------------------------------------------------------
+# Core distributions (DataGen.hpp dispatch table, :30-115)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def sorted_keys(n: int) -> jax.Array:
+    """1..N in order (DataGen.hpp:78-85)."""
+    return jnp.arange(1, n + 1, dtype=KEY_DTYPE)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def shuffled_keys(n: int, seed: int) -> jax.Array:
+    """1..N globally permuted (DataGen.hpp:86-95: random_shuffle)."""
+    return jax.random.permutation(_key(seed, 1), sorted_keys(n))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def local_shuffled_keys(n: int, window: int, seed: int) -> jax.Array:
+    """1..N with bounded-window displacement — the locality axis of the whole
+    study (DataGen.hpp:96-115: per-position swap within `local_shuffle_range`).
+
+    TPU-native formulation: sort positions by `i + U[0, window)` jitter.  Each
+    element moves at most `window` slots, preserving the reference's locality
+    radius while remaining a single fused sort instead of a serial swap loop.
+    """
+    keys = sorted_keys(n)
+    if window <= 1:
+        return keys
+    jitter = jax.random.randint(_key(seed, 2), (n,), 0, window, dtype=jnp.int32)
+    rank = jnp.arange(n, dtype=jnp.int32) + jitter
+    _, out = jax.lax.sort_key_val(rank, keys, is_stable=True)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def uniform_keys(n: int, distinct: int, window: int, seed: int) -> jax.Array:
+    """rand into [1, distinct], sorted, then local-window shuffle
+    (DataGen.hpp:30-54)."""
+    vals = jax.random.randint(_key(seed, 3), (n,), 1, distinct + 1, dtype=KEY_DTYPE)
+    vals = jnp.sort(vals)
+    if window <= 1:
+        return vals
+    jitter = jax.random.randint(_key(seed, 4), (n,), 0, window, dtype=jnp.int32)
+    rank = jnp.arange(n, dtype=jnp.int32) + jitter
+    _, out = jax.lax.sort_key_val(rank, vals, is_stable=True)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def random_keys(n: int, window: int, seed: int) -> jax.Array:
+    """Full-positive-range rand, sorted, local shuffle (DataGen.hpp:55-71)."""
+    vals = jax.random.randint(_key(seed, 5), (n,), 1, jnp.iinfo(jnp.int32).max,
+                              dtype=KEY_DTYPE)
+    vals = jnp.sort(vals)
+    if window <= 1:
+        return vals
+    jitter = jax.random.randint(_key(seed, 6), (n,), 0, window, dtype=jnp.int32)
+    rank = jnp.arange(n, dtype=jnp.int32) + jitter
+    _, out = jax.lax.sort_key_val(rank, vals, is_stable=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# mc-generator relations (mc/src/generator.c)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def pk_keys(n: int, seed: int) -> jax.Array:
+    """Primary-key relation: 1..N Knuth-shuffled (generator.c:240-260)."""
+    return shuffled_keys(n, seed)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def pk_lshuffle_keys(n: int, window: int, seed: int) -> jax.Array:
+    """This fork's addition: PK with windowed local shuffle
+    (generator.c:262-282)."""
+    return local_shuffled_keys(n, window, seed)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def fk_from_pk_keys(s_size: int, r_size: int, seed: int) -> jax.Array:
+    """Foreign keys drawn by tiling the PK domain then shuffling
+    (generator.c:458-491): every key 1..r_size appears floor or ceil of
+    s_size/r_size times → PK⋈FK match count is exactly s_size."""
+    reps = -(-s_size // r_size)  # ceil
+    tiled = jnp.tile(jnp.arange(1, r_size + 1, dtype=KEY_DTYPE), reps)[:s_size]
+    return jax.random.permutation(_key(seed, 7), tiled)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def nonunique_keys(n: int, max_key: int, seed: int) -> jax.Array:
+    """Random keys with duplicates (generator.c:493-509)."""
+    return jax.random.randint(_key(seed, 8), (n,), 1, max_key + 1, dtype=KEY_DTYPE)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3))
+def zipf_keys(n: int, alphabet_size: int, theta: float, seed: int) -> jax.Array:
+    """Zipf(theta) over a permuted alphabet via CDF inversion
+    (genzipf.c:97-158: lookup table + binary search per draw).
+
+    TPU-native: build the normalized CDF once, draw n uniforms, vectorized
+    searchsorted, then map through a random permutation of 1..alphabet_size
+    (the reference permutes its alphabet so hot keys are not the small ints).
+    """
+    ranks = jnp.arange(1, alphabet_size + 1, dtype=jnp.float64)
+    weights = 1.0 / ranks ** theta
+    cdf = jnp.cumsum(weights)
+    cdf = cdf / cdf[-1]
+    u = jax.random.uniform(_key(seed, 9), (n,), dtype=jnp.float64)
+    idx = jnp.searchsorted(cdf, u, side="left").astype(jnp.int32)
+    alphabet = jax.random.permutation(
+        _key(seed, 10), jnp.arange(1, alphabet_size + 1, dtype=KEY_DTYPE))
+    return alphabet[idx]
+
+
+# ---------------------------------------------------------------------------
+# Dispatch (DataGen.hpp:26 generate_data / main.cpp:89-97 relation setup)
+# ---------------------------------------------------------------------------
+
+def generate_keys(dist: Distribution, n: int, *, distinct: Optional[int] = None,
+                  window: int = 16, seed: int = 0, r_size: Optional[int] = None,
+                  zipf_param: float = 0.75) -> jax.Array:
+    """generate_data(dist, size, distinct_keys, local_shuffle_range) analog
+    (DataGen.hpp:26)."""
+    if dist == Distribution.SORTED:
+        return sorted_keys(n)
+    if dist == Distribution.SHUFFLE:
+        return shuffled_keys(n, seed)
+    if dist == Distribution.LOCAL_SHUFFLE:
+        return local_shuffled_keys(n, window, seed)
+    if dist == Distribution.UNIFORM:
+        return uniform_keys(n, distinct or n, window, seed)
+    if dist == Distribution.RANDOM:
+        return random_keys(n, window, seed)
+    if dist == Distribution.ZIPF:
+        return zipf_keys(n, distinct or n, zipf_param, seed)
+    if dist == Distribution.PK:
+        return pk_keys(n, seed)
+    if dist == Distribution.PK_LSHUFFLE:
+        return pk_lshuffle_keys(n, window, seed)
+    if dist == Distribution.FK:
+        return fk_from_pk_keys(n, r_size or n, seed)
+    if dist == Distribution.NONUNIQUE:
+        return nonunique_keys(n, distinct or n, seed)
+    raise ValueError(f"unknown distribution {dist}")
+
+
+def build_relations(cfg: JoinConfig) -> tuple[Relation, Relation]:
+    """Construct (R, S) per the driver's rules (main.cpp:89-97): S is `sorted`
+    unless the distribution is `random`, in which case S is a copy of R."""
+    r = generate_keys(cfg.data_distr, cfg.r_size, distinct=cfg.distinct_keys,
+                      window=cfg.shuffle_range, seed=cfg.seed,
+                      zipf_param=cfg.zipf_param)
+    if cfg.data_distr == Distribution.RANDOM:
+        s_keys = r[: cfg.s_size] if cfg.s_size <= cfg.r_size else jnp.resize(r, (cfg.s_size,))
+    elif cfg.data_distr in (Distribution.ZIPF, Distribution.FK):
+        s_keys = fk_from_pk_keys(cfg.s_size, cfg.r_size, cfg.seed + 1)
+    else:
+        s_keys = sorted_keys(cfg.s_size)
+    return Relation(r), Relation(s_keys)

@@ -1,0 +1,232 @@
+"""Distributed hash join over a device mesh.
+
+The reference is single-process shared-memory; its "communication" is pthread
+barriers and cache-coherent shared tables (SURVEY.md §2.5).  This module is
+the distributed layer the TPU framework introduces as a first-class
+component: relations are row-sharded over a 1-D mesh, hash-repartitioned with
+`lax.all_to_all` (the distributed analog of parallel_radix_partition's
+barrier + prefix-sum + scatter, mc/src/parallel_radix_join.c:559-627), joined
+locally per device with the sort-based engine, and match counts reduced with
+`psum` (the analog of the pthread_join result summation,
+mc/src/no_partitioning_join.c:595-599).  Collectives ride ICI within a slice.
+
+Skew handling (SURVEY.md P9; SKEW_HANDLING mc/src/parallel_radix_join.c:958-1055):
+zipf-hot keys would overload one device's receive bucket.  A sampled global
+histogram (all_gather of per-device samples) identifies heavy hitters; hot
+build-side tuples are *replicated* to every device via all_gather while hot
+probe-side tuples stay home — the "split hot keys across devices + replicate
+matching build rows" strategy of BASELINE.json.  Non-hot tuples take the
+normal all_to_all path.
+
+All buffers are statically shaped (padded buckets with validity sentinels):
+R-side padding is INT32_MAX, S-side padding is 0 — neither can match a real
+key (generators emit 1..2^31-2).  Dropped-tuple counts are reported, never
+silently swallowed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import JoinConfig
+from ..relation import Relation
+from ..ops.hashing import murmur32
+from ..utils.metrics import JoinMetrics
+from ..utils.timing import PhaseTimer
+from .mesh import make_mesh
+
+R_PAD = jnp.int32(jnp.iinfo(jnp.int32).max)
+S_PAD = jnp.int32(0)
+
+HOT_CAP = 128          # max distinct heavy-hitter keys tracked
+SAMPLE_PER_DEV = 2048  # per-device sample for the skew sniff
+
+
+def _exclusive_scan(counts):
+    return jnp.concatenate([jnp.zeros((1,), counts.dtype),
+                            jnp.cumsum(counts)[:-1]])
+
+
+def _bucketize(keys, active, ndev, cap, pad_value):
+    """Sort local keys by destination device and pack into (ndev, cap)
+    padded send buckets.  Returns (buckets, dropped_count, active_sum)."""
+    n = keys.shape[0]
+    dest = jnp.where(active, murmur32(keys) & (ndev - 1), ndev)
+    dest_s, keys_s = lax.sort_key_val(dest, keys, is_stable=True)
+    counts = jnp.zeros((ndev + 1,), jnp.int32).at[dest].add(1)
+    offsets = _exclusive_scan(counts)
+    pos = jnp.arange(n, dtype=jnp.int32) - offsets[dest_s]
+    ok = (pos < cap) & (dest_s < ndev)
+    slot = jnp.where(ok, dest_s * cap + pos, ndev * cap)
+    buf = jnp.full((ndev * cap,), pad_value, jnp.int32)
+    buf = buf.at[slot].set(keys_s, mode="drop")
+    dropped = jnp.sum(active, dtype=jnp.int64) - jnp.sum(ok, dtype=jnp.int64)
+    act_sum = jnp.sum(jnp.where(active, keys, 0).astype(jnp.int64))
+    return buf.reshape(ndev, cap), dropped, act_sum
+
+
+def _detect_hot_keys(keys, active, axis):
+    """Sampled global heavy-hitter set for one relation side: ascending
+    (HOT_CAP,) array padded with R_PAD sentinels.  The sampled-histogram
+    analog of the reference's oversized-partition threshold test
+    (mc/src/parallel_radix_join.c:900-912)."""
+    sample = jnp.where(active[:SAMPLE_PER_DEV], keys[:SAMPLE_PER_DEV], 0)
+    allsamp = lax.all_gather(sample, axis).reshape(-1)
+    total = allsamp.shape[0]
+    ndev = lax.axis_size(axis)
+    s = jnp.sort(allsamp)
+    is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]])
+    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    counts = jnp.zeros((total,), jnp.int32).at[run_id].add(1)
+    run_val = jnp.zeros((total,), jnp.int32).at[run_id].max(s)
+    # hot ⇔ sampled frequency implies > half of one device's fair share
+    thresh = jnp.maximum(4, total // (2 * ndev))
+    top_counts, top_idx = lax.top_k(counts, HOT_CAP)
+    hot = jnp.where((top_counts >= thresh) & (run_val[top_idx] != 0),
+                    run_val[top_idx], R_PAD)
+    return jnp.sort(hot)
+
+
+def _union_hot(a, b):
+    """Union of two sorted sentinel-padded hot sets, deduplicated, sorted."""
+    cat = jnp.sort(jnp.concatenate([a, b]))
+    dup = jnp.concatenate([jnp.zeros((1,), jnp.bool_), cat[1:] == cat[:-1]])
+    return jnp.sort(jnp.where(dup, R_PAD, cat))
+
+
+def _hot_counts(keys, hot_mask, hot_set, size):
+    """Per-hot-key local multiplicity (segment count into the hot set)."""
+    idx = jnp.searchsorted(hot_set, keys).astype(jnp.int32)
+    tgt = jnp.where(hot_mask, jnp.clip(idx, 0, size - 1), size)
+    return jnp.zeros((size,), jnp.int32).at[tgt].add(1, mode="drop")
+
+
+def _is_member(keys, sorted_set):
+    idx = jnp.clip(jnp.searchsorted(sorted_set, keys), 0, sorted_set.shape[0] - 1)
+    return sorted_set[idx] == keys
+
+
+def _count_sorted(sorted_build, probe_keys):
+    hi = jnp.searchsorted(sorted_build, probe_keys, side="right", method="sort")
+    lo = jnp.searchsorted(sorted_build, probe_keys, side="left", method="sort")
+    return jnp.sum((hi - lo).astype(jnp.int64))
+
+
+class DistResult(NamedTuple):
+    matches: jax.Array
+    input_sum_r: jax.Array
+    output_sum_r: jax.Array
+    dropped_r: jax.Array
+    dropped_s: jax.Array
+    num_hot: jax.Array
+
+
+def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling, axis="x"):
+    """Per-device body (runs under shard_map)."""
+    r_active = rk != R_PAD
+    s_active = sk != S_PAD
+    in_sum_r = lax.psum(jnp.sum(jnp.where(r_active, rk, 0).astype(jnp.int64)), axis)
+
+    if skew_handling:
+        # Hot keys never move: matches for a hot key k are
+        # psum(count_R(k)) * psum(count_S(k)) — two (HOT_CAP,) psums replace
+        # the reference's cooperative re-partitioning of oversized partitions
+        # (mc/src/parallel_radix_join.c:958-1055).
+        hot_set = _union_hot(_detect_hot_keys(rk, r_active, axis),
+                             _detect_hot_keys(sk, s_active, axis))
+        size = hot_set.shape[0]
+        num_hot = jnp.sum(hot_set != R_PAD, dtype=jnp.int32)
+        r_hot = r_active & _is_member(rk, hot_set)
+        s_hot = s_active & _is_member(sk, hot_set)
+        cr = lax.psum(_hot_counts(rk, r_hot, hot_set, size), axis)
+        cs = lax.psum(_hot_counts(sk, s_hot, hot_set, size), axis)
+        hot_matches = jnp.sum(cr.astype(jnp.int64) * cs.astype(jnp.int64))
+        hot_sum = lax.psum(
+            jnp.sum(jnp.where(r_hot, rk, 0).astype(jnp.int64)), axis)
+        r_flow = r_active & ~r_hot
+        s_flow = s_active & ~s_hot
+    else:
+        num_hot = jnp.zeros((), jnp.int32)
+        hot_matches = jnp.zeros((), jnp.int64)
+        hot_sum = jnp.zeros((), jnp.int64)
+        r_flow, s_flow = r_active, s_active
+
+    rbuf, r_drop, _ = _bucketize(rk, r_flow, ndev, cap_r, R_PAD)
+    sbuf, s_drop, _ = _bucketize(sk, s_flow, ndev, cap_s, S_PAD)
+    r_recv = lax.all_to_all(rbuf, axis, split_axis=0, concat_axis=0).reshape(-1)
+    s_recv = lax.all_to_all(sbuf, axis, split_axis=0, concat_axis=0).reshape(-1)
+
+    sorted_r = jnp.sort(r_recv)
+    local_matches = _count_sorted(sorted_r, s_recv)
+
+    recv_sum = jnp.sum(jnp.where(r_recv != R_PAD, r_recv, 0).astype(jnp.int64))
+    return DistResult(
+        matches=lax.psum(local_matches, axis) + hot_matches,
+        input_sum_r=in_sum_r,
+        output_sum_r=lax.psum(recv_sum, axis) + hot_sum,
+        dropped_r=lax.psum(r_drop, axis),
+        dropped_s=lax.psum(s_drop, axis),
+        num_hot=lax.pmax(num_hot, axis),
+    )
+
+
+def build_dist_join_fn(mesh: Mesh, n_r: int, n_s: int, *,
+                       capacity_factor: float = 2.0,
+                       skew_handling: bool = False):
+    """Compile-ready distributed join: (sharded rk, sharded sk) → DistResult."""
+    ndev = mesh.devices.size
+    cap_r = max(8, int(capacity_factor * n_r / (ndev * ndev)) + 8)
+    cap_s = max(8, int(capacity_factor * n_s / (ndev * ndev)) + 8)
+    body = functools.partial(_dist_join_local, ndev=ndev, cap_r=cap_r,
+                             cap_s=cap_s, skew_handling=skew_handling)
+    fn = shard_map(body, mesh=mesh, in_specs=(P("x"), P("x")),
+                   out_specs=DistResult(P(), P(), P(), P(), P(), P()))
+    return jax.jit(fn)
+
+
+def _pad_to(keys: jax.Array, multiple: int, pad_value) -> jax.Array:
+    n = keys.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return keys
+    return jnp.concatenate([keys, jnp.full((pad,), pad_value, keys.dtype)])
+
+
+def distributed_join(r: Relation, s: Optional[Relation],
+                     cfg: JoinConfig = JoinConfig(),
+                     mesh: Optional[Mesh] = None) -> JoinMetrics:
+    """Host entry: shard, repartition, join, reduce. Emits reference-schema
+    metrics plus distributed extras."""
+    if mesh is None:
+        mesh = make_mesh(cfg.mesh_shape or ())
+    ndev = mesh.devices.size
+    timer = PhaseTimer()
+    rk = _pad_to(r.keys, ndev, R_PAD)
+    sk = _pad_to(s.keys if s is not None else jnp.zeros((ndev,), jnp.int32),
+                 ndev, S_PAD)
+    rk = jax.device_put(rk, NamedSharding(mesh, P("x")))
+    sk = jax.device_put(sk, NamedSharding(mesh, P("x")))
+    fn = build_dist_join_fn(mesh, rk.shape[0], sk.shape[0],
+                            capacity_factor=cfg.shuffle_capacity_factor,
+                            skew_handling=cfg.skew_handling)
+    res = timer.timed("build", fn, rk, sk)
+    m = JoinMetrics(algo=f"dist_{cfg.algo.value}", rSize=cfg.r_size,
+                    transactionSize=cfg.transaction_size,
+                    probeLength=cfg.probe_length,
+                    inputSum=int(res.input_sum_r),
+                    outputSum=int(res.output_sum_r),
+                    totalMatches=int(res.matches))
+    m.hashBuildTimeInMicroseconds = timer.total()
+    m.extra["nDevices"] = ndev
+    m.extra["droppedR"] = int(res.dropped_r)
+    m.extra["droppedS"] = int(res.dropped_s)
+    m.extra["hotKeys"] = int(res.num_hot)
+    m.extra["skewHandling"] = cfg.skew_handling
+    return m

@@ -1,0 +1,81 @@
+"""Distributed-join tests on an 8-virtual-device CPU mesh — the multi-device
+capability the single-node reference never had (SURVEY.md §2.5)."""
+
+import jax
+import pytest
+
+from htm_hashjoin_tpu.config import Algo, Distribution, JoinConfig
+from htm_hashjoin_tpu.data.generators import build_relations
+from htm_hashjoin_tpu.joins import DISPATCH
+from htm_hashjoin_tpu.parallel.dist_join import distributed_join
+from htm_hashjoin_tpu.parallel.mesh import make_mesh
+from htm_hashjoin_tpu.utils.validate import reference_match_count
+
+N = 1 << 14
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def cfgs(**kw):
+    base = dict(algo=Algo.RADIX, r_size=N, mesh_shape=(8,))
+    base.update(kw)
+    return JoinConfig(**base)
+
+
+@pytest.mark.parametrize("dist", [Distribution.SORTED, Distribution.SHUFFLE,
+                                  Distribution.LOCAL_SHUFFLE])
+def test_dist_matches_pk(dist):
+    cfg = cfgs(data_distr=dist)
+    r, s = build_relations(cfg)
+    m = distributed_join(r, s, cfg)
+    assert m.totalMatches == N
+    assert m.conserved
+    assert m.extra["droppedR"] == 0 and m.extra["droppedS"] == 0
+
+
+def test_dist_equals_single_device():
+    """The distributed engine must reproduce the single-device result."""
+    cfg = cfgs(data_distr=Distribution.UNIFORM, distinct_keys=N // 2)
+    r, s = build_relations(cfg)
+    single = DISPATCH["radix"](r, s, cfg)
+    multi = distributed_join(r, s, cfg)
+    assert multi.totalMatches == single.totalMatches
+
+
+def test_skew_handling_exact_on_zipf():
+    """Heavy hitters: without skew handling the hot partition overflows its
+    all_to_all bucket (reported drops); with it, counts are exact and no
+    tuple is dropped (BASELINE.json heavy-hitter splitting)."""
+    base = dict(data_distr=Distribution.ZIPF, distinct_keys=N // 16,
+                zipf_param=1.2)
+    cfg_on = cfgs(**base, skew_handling=True)
+    r, s = build_relations(cfg_on)
+    oracle = reference_match_count(r.keys, s.keys)
+
+    m_off = distributed_join(r, s, cfgs(**base, skew_handling=False))
+    assert m_off.extra["droppedR"] > 0          # the motivating failure
+    assert m_off.totalMatches < oracle
+
+    m_on = distributed_join(r, s, cfg_on)
+    assert m_on.totalMatches == oracle
+    assert m_on.extra["droppedR"] == 0
+    assert m_on.extra["hotKeys"] > 0
+    assert m_on.conserved
+
+
+def test_uneven_size_padding():
+    """Relation size not divisible by mesh size: sentinel padding must not
+    change counts."""
+    cfg = JoinConfig(algo=Algo.RADIX, r_size=N + 13, s_size=N + 7,
+                     data_distr=Distribution.SHUFFLE, mesh_shape=(8,))
+    r, s = build_relations(cfg)
+    m = distributed_join(r, s, cfg)
+    assert m.totalMatches == N + 7  # S=1..N+7 all present in R=perm(1..N+13)
+
+
+def test_mesh_construction():
+    mesh = make_mesh((8,))
+    assert mesh.devices.size == 8
+    with pytest.raises(ValueError):
+        make_mesh((1024,))

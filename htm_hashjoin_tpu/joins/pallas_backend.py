@@ -1,0 +1,162 @@
+"""Host orchestration of the Pallas banded join.
+
+The production single-chip engine: tile-sort the build side (odd-even fast
+path under locality, bitonic otherwise), compute per-tile S-slice offsets
+with one vectorized searchsorted, then the banded merge-count megakernel.
+
+Phase structure mirrors the reference protocol (build → probe with the host
+boundary as the barrier), and the optimistic/abort/retry pattern of the HTM
+build maps exactly:
+
+  optimistic  = odd-even passes assuming bounded displacement
+  abort       = per-tile sortedness violations (tile_stats)
+  retry       = bitonic re-sort when violations appear
+  conflicts   = tiles whose S-slice exceeds the chunk budget (skew) fall
+                back to the XLA sorted-probe path, counted & reported
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pallas.join_kernels import (MAXI32, banded_count, sort_tiles,
+                                       tile_stats)
+from ..ops import probe as probe_ops
+
+LANES = 128
+DEFAULT_TILE = 65536
+
+
+def to_tiles_2d(keys: jax.Array, tile: int) -> jax.Array:
+    """Pad a 1-D key array with INT32_MAX to a tile multiple and reshape to
+    (rows, 128) row-major."""
+    n = keys.shape[0]
+    padded = ((n + tile - 1) // tile) * tile
+    if padded != n:
+        keys = jnp.concatenate(
+            [keys, jnp.full((padded - n,), MAXI32, jnp.int32)])
+    return keys.reshape(-1, LANES)
+
+
+class BandedBuild(NamedTuple):
+    """The build artifact: partitioned sorted runs + per-tile value ranges.
+    This is the TPU-native 'hash table' (tile ranges play the role of the
+    bucket directory)."""
+    sorted2d: jax.Array   # (F*rows_per_tile, 128)
+    mins: jax.Array       # (F,) per-tile min key
+    maxs: jax.Array       # (F,) per-tile max key (padding excluded)
+    tile: int
+    n: int
+    violations: int       # sortedness failures of the optimistic pass
+    resorted: bool        # True if the bitonic retry ran
+
+
+def banded_build(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
+                 locality_window: Optional[int] = None,
+                 interpret: bool = False) -> BandedBuild:
+    """Build phase.  locality_window=w picks the odd-even optimistic sorter
+    (exact for displacement ≤ w); None or large w picks bitonic directly."""
+    r2d = to_tiles_2d(rkeys, tile)
+    rows_per_tile = tile // LANES
+    use_oddeven = locality_window is not None and 0 < locality_window <= 128
+    method = "oddeven" if use_oddeven else "bitonic"
+    passes = locality_window if use_oddeven else 0
+    sorted2d = sort_tiles(r2d, tile=tile, method=method,
+                          passes=max(1, passes), interpret=interpret)
+    mins, maxs, viols = tile_stats(sorted2d, rows_per_tile)
+    violations = 0
+    resorted = False
+    if use_oddeven:
+        violations = int(jnp.sum(viols))
+        if violations:  # abort → retry with the exact sorter
+            sorted2d = sort_tiles(r2d, tile=tile, method="bitonic",
+                                  interpret=interpret)
+            mins, maxs, viols = tile_stats(sorted2d, rows_per_tile)
+            resorted = True
+    return BandedBuild(sorted2d, mins, maxs, tile, int(rkeys.shape[0]),
+                       violations, resorted)
+
+
+def banded_build_from_sorted(sorted_keys: jax.Array, *,
+                             tile: int = DEFAULT_TILE) -> BandedBuild:
+    """Build artifact from a globally sorted relation (the radix/sort path:
+    XLA global sort first, then tiles are disjoint ranges so S-slices are
+    always narrow — no overflow regardless of distribution)."""
+    r2d = to_tiles_2d(sorted_keys, tile)
+    mins, maxs, _ = tile_stats(r2d, tile // LANES)
+    return BandedBuild(r2d, mins, maxs, tile, int(sorted_keys.shape[0]),
+                       0, False)
+
+
+@jax.jit
+def _slice_offsets(skeys_sorted, mins, maxs):
+    # F queries against a huge sorted array: binary-search 'scan' is O(F log n);
+    # method='sort' would re-sort the full S array (catastrophic here).
+    off = jnp.searchsorted(skeys_sorted, mins, side="left", method="scan")
+    end = jnp.searchsorted(skeys_sorted, maxs, side="right", method="scan")
+    return off.astype(jnp.int32), end.astype(jnp.int32)
+
+
+@jax.jit
+def _sum_i64(x):
+    return jnp.sum(x.astype(jnp.int64))
+
+
+def prepare_probe_side(skeys_sorted: jax.Array, tile: int = DEFAULT_TILE,
+                       max_chunks: int = 4) -> jax.Array:
+    """Tile and end-pad sorted S once (reusable across probes)."""
+    rows_per_tile = tile // LANES
+    s2d = to_tiles_2d(skeys_sorted, tile)
+    return jnp.concatenate(
+        [s2d, jnp.full((max_chunks * rows_per_tile, LANES), MAXI32,
+                       jnp.int32)])
+
+
+def banded_probe(build: BandedBuild, skeys_sorted: jax.Array, *,
+                 max_chunks: int = 4, interpret: bool = False,
+                 s2d: Optional[jax.Array] = None):
+    """Probe phase: count matches of sorted S against the build artifact.
+    Returns (matches, overflow_tiles)."""
+    tile = build.tile
+    rows_per_tile = tile // LANES
+    if s2d is None:
+        s2d = prepare_probe_side(skeys_sorted, tile, max_chunks)
+    off, end = _slice_offsets(skeys_sorted, build.mins, build.maxs)
+    row_off = off // LANES
+    end_row = (end + LANES - 1) // LANES
+    rows_needed = jnp.maximum(end_row - row_off, 0)
+    n_chunks = (rows_needed + rows_per_tile - 1) // rows_per_tile
+    overflow = np.asarray(n_chunks > max_chunks)
+    n_chunks_clipped = jnp.where(overflow, 0, n_chunks).astype(jnp.int32)
+    counts = banded_count(build.sorted2d, s2d, row_off.astype(jnp.int32),
+                          n_chunks_clipped, tile=tile,
+                          max_chunks=max_chunks, interpret=interpret)
+    matches = int(_sum_i64(counts))
+
+    overflow_tiles = np.nonzero(overflow)[0]
+    if len(overflow_tiles):
+        flat = build.sorted2d.reshape(-1)
+        off_np, end_np = np.asarray(off), np.asarray(end)
+        for t in overflow_tiles:
+            r_tile = jax.lax.dynamic_slice(flat, (int(t) * tile,), (tile,))
+            s_slice = skeys_sorted[int(off_np[t]):int(end_np[t])]
+            matches += int(probe_ops.probe_sorted(r_tile, s_slice))
+    return matches, len(overflow_tiles)
+
+
+def banded_join(rkeys: jax.Array, skeys_sorted: jax.Array, *,
+                tile: int = DEFAULT_TILE,
+                locality_window: Optional[int] = None,
+                max_chunks: int = 4, interpret: bool = False):
+    """Full build+probe.  Returns (matches, BandedBuild, overflow_tiles)."""
+    build = banded_build(rkeys, tile=tile, locality_window=locality_window,
+                         interpret=interpret)
+    matches, overflow = banded_probe(build, skeys_sorted,
+                                     max_chunks=max_chunks,
+                                     interpret=interpret)
+    return matches, build, overflow

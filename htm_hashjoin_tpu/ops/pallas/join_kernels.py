@@ -1,0 +1,276 @@
+"""Pallas join megakernels: streaming tile sort + banded merge-count.
+
+The TPU-native replacement for the reference's hot loops (SURVEY.md §3): the
+hash+insert scatter loop, the probe/count loop and the sort+merge loops all
+become two *megakernels* built from dense VPU ops (linops.py): a single
+gridless pallas_call whose internal fori_loop streams T-element tiles
+HBM→VMEM→HBM with manual DMA.  (On this platform a Pallas grid and per-call
+dispatch both carry pathological overhead — one kernel invocation per
+relation is the efficient shape.)
+
+  * `sort_tiles`     — streams tiles; each is sorted in VMEM (bitonic, or
+                       odd-even transposition for bounded-displacement /
+                       locality data — the optimistic fast path).  A
+                       tile-sorted relation IS the build artifact:
+                       partitioned sorted runs (the TPU analog of the
+                       locality-bucketed hash table, HTMHashBuild.hpp:41-45).
+  * `banded_count`   — for each sorted R tile, DMAs the S-slice covering the
+                       tile's value range (offsets precomputed by one
+                       vectorized searchsorted — the "partition offsets" of
+                       parallel_radix_join.c:588-598), bitonic-merges the two
+                       sorted runs in VMEM, and counts matches with a
+                       segmented-scan formula:
+
+                       sort (key, tag) with R-before-S; A = cumsum(tag==0);
+                       prevA = segment-start fill of A;  matches = Σ_{tag==1}
+                       (A - prevA)   ==   Σ_v count_R(v) · count_S(v).
+
+Key packing: (key, tag) packs into one int32 composite key*4 + tag for keys
+< 2^29 (tags: 0=R, 1=S, 3=padding; INT32_MAX ≡ 3 (mod 4) makes the sentinel
+its own pad tag).  The planner certifies key density; larger keys take the
+XLA fallback path.
+
+Mosaic lowering gotchas encoded here (each cost a debugging session):
+  - python-int roll shifts trace as i64 under x64 → pass jnp.int32 shifts;
+  - jnp.sum upcasts int32→int64 under x64 → linops.sum_all;
+  - jnp.where on *boolean* branch arrays crashes the backend compiler →
+    boolean algebra;
+  - scalar reads of computed VMEM values (x[0,0]) stall the compiler →
+    reduce with jnp.min over an all-equal array;
+  - any pallas grid hangs the compile service → gridless megakernel + fori.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import threading
+
+# Unrolled compare-exchange networks trace to deep expression chains and
+# Mosaic lowering recurses per-equation: raise the Python limit and give the
+# lowering a large thread stack (call_with_big_stack).
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 1_000_000))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import linops
+
+LANES = 128
+MAXI32 = jnp.iinfo(jnp.int32).max  # 2^31 - 1, ≡ 3 (mod 4)
+PACK_LIMIT = 1 << 29               # keys must be < 2^29 to pack key*4+tag
+
+_BIG_STACK_BYTES = 1 << 31  # 2 GB: lowering frames are fat (≈4 KB each)
+
+
+def call_with_big_stack(fn, *args, **kwargs):
+    """Invoke fn on a thread with a 512 MB stack (Mosaic lowering recursion).
+    Compilation caches persist process-wide, so only compiling calls pay the
+    thread hop."""
+    box = {}
+
+    def runner():
+        sys.setrecursionlimit(1_000_000)
+        try:
+            box["v"] = fn(*args, **kwargs)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            box["e"] = e
+
+    old = threading.stack_size(_BIG_STACK_BYTES)
+    try:
+        t = threading.Thread(target=runner, name="mosaic-lowering")
+        t.start()
+        t.join()
+    finally:
+        threading.stack_size(old)
+    if "e" in box:
+        raise box["e"]
+    return box["v"]
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: streaming tile sort
+# ---------------------------------------------------------------------------
+
+def _sort_megakernel(r_hbm, out_hbm, buf, obuf, sem_in, sem_out, *,
+                     n_tiles: int, rows_per_tile: int, method: str,
+                     passes: int):
+    def body(t, carry):
+        row0 = t * rows_per_tile
+        dma_in = pltpu.make_async_copy(
+            r_hbm.at[pl.ds(row0, rows_per_tile), :], buf, sem_in)
+        dma_in.start()
+        dma_in.wait()
+        v = buf[:]
+        if method == "bitonic":
+            v = linops.bitonic_sort_keys(v)
+        else:
+            v = linops.odd_even_passes_keys(v, passes)
+        obuf[:] = v
+        dma_out = pltpu.make_async_copy(
+            obuf, out_hbm.at[pl.ds(row0, rows_per_tile), :], sem_out)
+        dma_out.start()
+        dma_out.wait()
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_tiles), body, jnp.int32(0))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "method", "passes", "interpret"))
+def _sort_tiles_jit(keys2d: jax.Array, *, tile: int = 65536,
+                    method: str = "bitonic", passes: int = 16,
+                    interpret: bool = False) -> jax.Array:
+    rows_per_tile = tile // LANES
+    total_rows = keys2d.shape[0]
+    assert total_rows % rows_per_tile == 0, (total_rows, rows_per_tile)
+    n_tiles = total_rows // rows_per_tile
+    kernel = functools.partial(_sort_megakernel, n_tiles=n_tiles,
+                               rows_per_tile=rows_per_tile, method=method,
+                               passes=passes)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(keys2d.shape, jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((rows_per_tile, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(keys2d)
+
+
+@functools.partial(jax.jit, static_argnames=("rows_per_tile",))
+def tile_stats(sorted2d: jax.Array, rows_per_tile: int):
+    """Per-tile [min, max-excluding-padding, sortedness-violations] computed
+    in XLA over the kernel's output (cheap streaming reductions).
+
+    `violations` is the abort-fraction analog (HTMHashBuild.hpp:150-154): a
+    nonzero count means the optimistic odd-even pass count underestimated the
+    data's displacement and the caller must retry with the exact sorter.
+    """
+    f = sorted2d.shape[0] // rows_per_tile
+    tiles = sorted2d.reshape(f, rows_per_tile * LANES)
+    mins = tiles[:, 0]
+    maxs = jnp.max(jnp.where(tiles == MAXI32, jnp.int32(-(1 << 31)), tiles),
+                   axis=1)
+    viols = jnp.sum(tiles[:, 1:] < tiles[:, :-1], axis=1, dtype=jnp.int64)
+    return mins, maxs, viols
+
+
+def sort_tiles(keys2d, **kwargs):
+    """Sort each T-element tile of keys2d ((rows,128) int32, MAXI32-padded,
+    rows divisible by tile/128).  method='oddeven' runs `passes` odd-even
+    rounds — exact for displacement ≤ passes (the locality regime)."""
+    return call_with_big_stack(_sort_tiles_jit, keys2d, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: banded merge-count
+# ---------------------------------------------------------------------------
+
+def _count_megakernel(row_off_smem, n_chunks_smem, r_hbm, s_hbm, out_ref,
+                      rbuf, sbuf, sem_r, sem_s, *, n_tiles: int,
+                      rows_per_tile: int, max_chunks: int):
+    del max_chunks  # chunk loop bound is dynamic per tile
+    out_ref[:] = jnp.zeros((8, LANES), jnp.int32)
+    merged_rows = 2 * rows_per_tile
+    # hoisted vector constants: Mosaic recurses on scalar where-branches and
+    # bool→int astype inside kernel loops — keep every select vector/vector
+    ones_m = jnp.ones((merged_rows, LANES), jnp.int32)
+    zeros_m = jnp.zeros((merged_rows, LANES), jnp.int32)
+    neg_m = -ones_m
+
+    def body(t, carry):
+        dma_r = pltpu.make_async_copy(
+            r_hbm.at[pl.ds(t * rows_per_tile, rows_per_tile), :], rbuf, sem_r)
+        dma_r.start()
+        dma_r.wait()
+        rk = rbuf[:]
+        comp_r = jnp.where(rk >= PACK_LIMIT, jnp.int32(MAXI32), rk * 4)
+
+        def chunk_body(c, carry2):
+            dma_s = pltpu.make_async_copy(
+                s_hbm.at[pl.ds(row_off_smem[t] + c * rows_per_tile,
+                               rows_per_tile), :], sbuf, sem_s)
+            dma_s.start()
+            dma_s.wait()
+            sk = sbuf[:]
+            comp_s = jnp.where(sk >= PACK_LIMIT, jnp.int32(MAXI32),
+                               sk * 4 + 1)
+            merged = linops.merge_two_sorted_keys(comp_r, comp_s)
+            tag = merged & 3
+            rcnt = jnp.where(tag == 0, ones_m, zeros_m)
+            a = linops.cumsum_linear(rcnt)
+            keyv = merged >> 2
+            run_start = keyv != linops.lshift(keyv, -1, jnp.int32(-1))
+            prev_a = linops.cummax_linear(
+                jnp.where(run_start, a - rcnt, neg_m))
+            contrib = jnp.where(tag == 1, a - prev_a, zeros_m)
+            # fold (2*rows, 128) contributions into the (8, 128) accumulator
+            # with a mod-8 roll tree — no traced scalars anywhere
+            y = contrib
+            s = 8
+            while s < merged_rows:
+                y = y + pltpu.roll(y, jnp.int32(s), axis=0)
+                s *= 2
+            out_ref[:] = out_ref[:] + y[:8, :]
+            return carry2
+
+        jax.lax.fori_loop(jnp.int32(0), n_chunks_smem[t], chunk_body,
+                          jnp.int32(0))
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_tiles), body, jnp.int32(0))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "max_chunks", "interpret"))
+def _banded_count_jit(r_sorted2d: jax.Array, s2d: jax.Array,
+                      row_off: jax.Array, n_chunks: jax.Array, *,
+                      tile: int = 65536, max_chunks: int = 4,
+                      interpret: bool = False) -> jax.Array:
+    assert max_chunks <= LANES
+    rows_per_tile = tile // LANES
+    n_tiles = r_sorted2d.shape[0] // rows_per_tile
+    kernel = functools.partial(_count_megakernel, n_tiles=n_tiles,
+                               rows_per_tile=rows_per_tile,
+                               max_chunks=max_chunks)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((rows_per_tile, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(row_off, n_chunks, r_sorted2d, s2d)
+
+
+def banded_count(*args, **kwargs):
+    """Match counts of tile-sorted R against sorted S.
+
+    args: r_sorted2d (F*rows_per_tile, 128); s2d (rows, 128) globally sorted,
+    end-padded with ≥ max_chunks*rows_per_tile rows of MAXI32; row_off (F,)
+    int32 S-slice start rows; n_chunks (F,) int32 chunk counts (0 skips the
+    tile — used for the host-side overflow fallback).
+
+    Returns an (8, 128) int32 accumulator grid; sum for the total.
+    """
+    return call_with_big_stack(_banded_count_jit, *args, **kwargs)

@@ -1,0 +1,157 @@
+"""Pallas kernel correctness in interpret mode (CPU).
+
+Covers linops (roll/sort/merge/scan networks) and the banded join
+(tile-sort build + merge-count probe), including the optimistic/abort/retry
+path and the skew-overflow fallback.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from htm_hashjoin_tpu.ops.pallas import linops
+from htm_hashjoin_tpu.joins.pallas_backend import (banded_build,
+                                                   banded_build_from_sorted,
+                                                   banded_join, banded_probe)
+from htm_hashjoin_tpu.data.generators import (local_shuffled_keys,
+                                              shuffled_keys, sorted_keys,
+                                              uniform_keys, zipf_keys)
+from htm_hashjoin_tpu.utils.validate import reference_match_count
+
+SHAPE = (8, 128)
+L = SHAPE[0] * SHAPE[1]
+
+
+def run_kernel(fn, *arrays):
+    shapes = jax.eval_shape(lambda *a: fn(*a), *arrays)
+    single = not isinstance(shapes, tuple)
+    if single:
+        shapes = (shapes,)
+
+    def kernel(*refs):
+        ins, outs = refs[:len(arrays)], refs[len(arrays):]
+        res = fn(*[r[:] for r in ins])
+        if not isinstance(res, tuple):
+            res = (res,)
+        for o, r in zip(outs, res):
+            o[:] = r
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct(s.shape, s.dtype) for s in shapes),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(arrays),
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in shapes),
+        interpret=True)(*arrays)
+    return out[0] if single else out
+
+
+def as_tile(a):
+    return jnp.asarray(np.asarray(a, np.int32).reshape(SHAPE))
+
+
+def test_lroll_matches_numpy():
+    x = np.arange(L, dtype=np.int32)
+    for s in [1, 5, 127, 128, 300, L - 1]:
+        y = run_kernel(lambda a, s=s: linops.lroll(a, s), as_tile(x))
+        np.testing.assert_array_equal(np.asarray(y).ravel(), np.roll(x, -s))
+
+
+def test_bitonic_sort_keys():
+    rng = np.random.default_rng(0)
+    k = rng.integers(0, 10_000, L).astype(np.int32)
+    y = run_kernel(linops.bitonic_sort_keys, as_tile(k))
+    np.testing.assert_array_equal(np.asarray(y).ravel(), np.sort(k))
+
+
+def test_merge_two_sorted_keys():
+    rng = np.random.default_rng(1)
+    a = np.sort(rng.integers(0, 5_000, L).astype(np.int32))
+    b = np.sort(rng.integers(0, 5_000, L).astype(np.int32))
+    y = run_kernel(linops.merge_two_sorted_keys, as_tile(a), as_tile(b))
+    np.testing.assert_array_equal(np.asarray(y).ravel(),
+                                  np.sort(np.concatenate([a, b])))
+
+
+def test_scans():
+    rng = np.random.default_rng(2)
+    v = rng.integers(0, 9, L).astype(np.int32)
+    y = run_kernel(linops.cumsum_linear, as_tile(v))
+    np.testing.assert_array_equal(np.asarray(y).ravel(), np.cumsum(v))
+    y = run_kernel(linops.cummax_linear, as_tile(v))
+    np.testing.assert_array_equal(np.asarray(y).ravel(),
+                                  np.maximum.accumulate(v))
+
+
+def test_odd_even_sorts_bounded_displacement():
+    rng = np.random.default_rng(3)
+    base = np.arange(L, dtype=np.int32)
+    order = np.argsort(base + rng.integers(0, 17, L), kind="stable")
+    arr = base[order]
+    y = run_kernel(lambda a: linops.odd_even_passes_keys(a, 16), as_tile(arr))
+    np.testing.assert_array_equal(np.asarray(y).ravel(), base)
+
+
+N = 1 << 14
+
+
+def test_banded_join_locality_exact():
+    r = local_shuffled_keys(N, 16, 0)
+    m, build, ovf = banded_join(r, sorted_keys(N), tile=2048,
+                                locality_window=16, interpret=True)
+    assert m == N
+    assert build.violations == 0 and not build.resorted
+    assert ovf == 0
+
+
+def test_banded_join_shuffle_falls_back():
+    """Globally shuffled tiles span the whole key range: every tile
+    overflows its S-slice budget and the exact fallback covers it."""
+    m, _, ovf = banded_join(shuffled_keys(N, 0), sorted_keys(N), tile=2048,
+                            interpret=True)
+    assert m == N
+    assert ovf > 0
+
+
+def test_banded_join_from_presorted():
+    """The sort-first (radix) path: pre-sorted R gives narrow tiles — exact
+    with no overflow even for shuffled origin."""
+    r_sorted = jnp.sort(shuffled_keys(N, 0))
+    build = banded_build_from_sorted(r_sorted, tile=2048)
+    m, ovf = banded_probe(build, sorted_keys(N), interpret=True)
+    assert m == N and ovf == 0
+
+
+def test_banded_join_duplicates():
+    r = uniform_keys(N, N // 4, 16, 0)
+    s = sorted_keys(N)
+    m, _, _ = banded_join(r, s, tile=2048, interpret=True)
+    assert m == reference_match_count(r, s)
+
+
+def test_banded_join_zipf_heavy_duplicates():
+    r = zipf_keys(N, N // 16, 1.1, 0)
+    s = sorted_keys(N)
+    build = banded_build_from_sorted(jnp.sort(r), tile=2048)
+    m, ovf = banded_probe(build, s, interpret=True)
+    assert m == reference_match_count(r, s)
+
+
+def test_banded_join_uneven_sizes():
+    n = N - 77
+    r = local_shuffled_keys(n, 8, 1)
+    m, _, _ = banded_join(r, sorted_keys(n), tile=2048, locality_window=8,
+                          interpret=True)
+    assert m == n
+
+
+def test_abort_retry_on_underestimated_window():
+    """Optimistic odd-even with too few passes must detect violations and
+    retry with bitonic (the abort→retry analog)."""
+    r = local_shuffled_keys(N, 64, 0)   # displacement up to 64
+    m, build, ovf = banded_join(r, sorted_keys(N), tile=2048,
+                                locality_window=4, interpret=True)
+    assert build.violations > 0 and build.resorted
+    assert m == N

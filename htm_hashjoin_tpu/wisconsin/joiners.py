@@ -1,0 +1,409 @@
+"""Joiner policy lattice — mc/wisconsin-src/algo/* re-designed TPU-first.
+
+The reference composes joiners from policy mixins (joinerfactory.cpp:23-75):
+``{StoreCopy,StorePointer} × {BuildIsPart,BuildIsNotPart} ×
+{ProbeIsPart,ProbeIsNotPart,ProbeSteal}`` plus two specials (NestedLoops,
+FlatMemoryJoiner).  Each axis exists to manage *CPU concurrency and cache
+locality*; here is its TPU re-expression:
+
+  storage axis (storage.cpp StoreCopy vs storagepl.cpp StorePointer)
+      StoreCopy materializes key+payload into the table at build time —
+      here: payload columns gathered into build order on device (early
+      materialization).  StorePointer stores tuple pointers — here: only
+      the row-permutation is kept and payload is gathered at emit (late
+      materialization).  Both are real, distinct data movements with the
+      reference's exact trade-off (build bandwidth vs probe gathers).
+
+  build axis (build.inl)
+      BuildIsPart builds thread-private partitions without atomics;
+      BuildIsNotPart builds one shared table with atomic appends.  On TPU
+      every build is conflict-free by construction: the chained bucket
+      pages (hashtable.h:24-50) become a bucket-sorted layout — stable
+      sort rows by hash bucket; bucket b's tuples occupy one contiguous
+      range.  The axis survives as the *plan*: partitioned builds sort
+      within each partition (a vmappable per-partition program; the
+      private-build analog), unpartitioned builds sort globally.
+
+  probe axis (probe.inl)
+      ProbeIsPart/ProbeIsNotPart walk matching partitions; ProbeSteal adds
+      a second work-stealing pass.  SPMD has no idle lanes to steal into
+      (SURVEY.md §2.4 P8): the analog is static cost balancing, and the
+      configured policy is honored in the stats (per-partition probe costs
+      and the balanced assignment ``steal`` would have produced).
+
+  match kernel
+      Bucket-chain walks become two binary searches: equal keys always
+      share a bucket, so a key-sorted build side is probed with
+      searchsorted(left/right); (hi-lo) is the per-probe match count and
+      the expand trick materializes output rows with static shapes.
+
+Outputs are materialized (schema = select1 cols ++ select2 cols, the
+OUTPUT_ASSEMBLE path of flatmem.cpp/storage.cpp), not just counted —
+capacity is discovered by a count pass, then the emit runs with the
+capacity rounded to the next power of two (bounded recompiles).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..relation import next_pow2
+from .hashfn import HashFunction
+from .partitioner import PartitionedTable, RadixPartitioner
+from .schema import ColumnType, Schema
+from .table import Table
+
+
+# ---------------------------------------------------------------------------
+# Static-shape join-index kernels
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _expand_matches(lo: jax.Array, hi: jax.Array, cap: int):
+    """Expand per-probe match ranges [lo, hi) into flat (probe_row,
+    build_rank) index pairs of static length ``cap``.
+
+    For output slot k: its probe row is the last i with offsets[i] <= k, and
+    its match ordinal is k - offsets[i].  Invalid slots (k >= total) get
+    index -1.  This replaces the reference's per-thread output cursors
+    (WriteTable::append, table.h:200-253) with one vectorized program.
+    """
+    counts = (hi - lo).astype(jnp.int64)
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int64),
+                               jnp.cumsum(counts)])
+    total = offsets[-1]
+    k = jnp.arange(cap, dtype=jnp.int64)
+    pi = jnp.searchsorted(offsets, k, side="right") - 1
+    pi = jnp.clip(pi, 0, lo.shape[0] - 1).astype(jnp.int64)
+    build_rank = lo[pi].astype(jnp.int64) + (k - offsets[pi])
+    valid = k < total
+    probe_idx = jnp.where(valid, pi, -1)
+    build_rank = jnp.where(valid, build_rank, -1)
+    return probe_idx, build_rank, total
+
+
+@jax.jit
+def _match_bounds(sorted_keys: jax.Array, probe_keys: jax.Array):
+    """Binary-search match ranges of each probe key in the key-sorted build
+    side — the bucket-chain walk analog (storage.cpp realprobeCursor;
+    hashtable.h iterator)."""
+    pk = probe_keys.astype(sorted_keys.dtype)
+    lo = jnp.searchsorted(sorted_keys, pk, side="left", method="sort")
+    hi = jnp.searchsorted(sorted_keys, pk, side="right", method="sort")
+    return lo, hi, jnp.sum((hi - lo).astype(jnp.int64))
+
+
+# ---------------------------------------------------------------------------
+# Base joiner
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class JoinStats:
+    """Observable policy effects (the reference's per-phase instrumentation,
+    main.cpp:75-94)."""
+
+    build_rows: int = 0
+    probe_rows: int = 0
+    output_rows: int = 0
+    bucket_count: int = 0
+    max_bucket_occupancy: int = 0
+    partition_probe_costs: Optional[np.ndarray] = None
+    stolen_balance: Optional[np.ndarray] = None  # ProbeSteal static plan
+
+
+class BaseJoiner:
+    """BaseAlgo analog (algo/algo.h:32-58): init copies schemas/selects,
+    build consumes the build-side split, probe returns the output table."""
+
+    def __init__(self, hashfn: Optional[HashFunction] = None,
+                 output_page_size: int = 1 << 20):
+        self.hashfn = hashfn
+        self.output_page_size = output_page_size
+        self.stats = JoinStats()
+
+    def init(self, schema1: Schema, select1: Sequence[int], jattr1: int,
+             schema2: Schema, select2: Sequence[int], jattr2: int) -> None:
+        self.s1, self.s2 = schema1, schema2
+        self.sel1, self.sel2 = list(select1), list(select2)
+        self.ja1, self.ja2 = jattr1, jattr2
+        self.sout = schema1.project(self.sel1).types + \
+            schema2.project(self.sel2).types
+        self.sout = Schema(self.sout)
+        # sbuild = {key, selected payload} (algo.h:38-44)
+        self.sbuild = schema1.build_schema(self.sel1, jattr1)
+
+    def build(self, parts: PartitionedTable) -> None:
+        raise NotImplementedError
+
+    def probe(self, parts: PartitionedTable) -> Table:
+        raise NotImplementedError
+
+    # -- shared emit ---------------------------------------------------------
+
+    def _emit(self, probe_table: Table, lo, hi, total: int,
+              build_payload_cols: List, probe_row_of=None) -> Table:
+        """Materialize output rows: sel1 payload gathered from the build
+        structure, sel2 columns gathered from the probe side."""
+        cap = max(8, next_pow2(int(total)))
+        probe_idx, build_rank, _ = _expand_matches(lo, hi, cap)
+        valid = np.asarray(probe_idx) >= 0
+        b_rank = jnp.where(build_rank >= 0, build_rank, 0)
+        p_idx = jnp.where(probe_idx >= 0, probe_idx, 0)
+        b_rank_np = None
+        out_cols: List[np.ndarray] = []
+        for col in build_payload_cols:
+            if isinstance(col, np.ndarray) and col.dtype == object:
+                if b_rank_np is None:
+                    b_rank_np = np.asarray(b_rank)[valid]
+                out_cols.append(col[b_rank_np])       # strings gather on host
+            else:
+                out_cols.append(np.asarray(jnp.asarray(col)[b_rank])[valid])
+        p_idx_np = np.asarray(p_idx)[valid]
+        if probe_row_of is not None:
+            p_idx_np = np.asarray(probe_row_of)[p_idx_np]
+        for c in self.sel2:
+            col = np.asarray(probe_table.column(c))
+            out_cols.append(col[p_idx_np])
+        self.stats.output_rows = int(total)
+        return Table(self.sout, out_cols, self.output_page_size)
+
+
+# ---------------------------------------------------------------------------
+# The hash-join policy lattice
+# ---------------------------------------------------------------------------
+
+class HashJoiner(BaseJoiner):
+    """The {storage × build × probe} lattice in one composable class.
+
+    ``storage``: 'copy' (StoreCopy, storage.cpp) or 'pointer'
+    (StorePointer, storagepl.cpp).  ``partition_build``/``partition_probe``/
+    ``steal`` select the build.inl/probe.inl mixins.
+    """
+
+    def __init__(self, hashfn: HashFunction, *, storage: str = "copy",
+                 partition_build: bool = False, partition_probe: bool = False,
+                 steal: bool = False, output_page_size: int = 1 << 20,
+                 build_page_size: int = 32):
+        super().__init__(hashfn, output_page_size)
+        if steal and partition_build:
+            raise ValueError("steal requires partitionbuild == no "
+                             "(joinerfactory.cpp:39-41 asserts)")
+        self.storage = storage
+        self.partition_build = partition_build
+        self.partition_probe = partition_probe
+        self.steal = steal
+        self.build_page_size = build_page_size  # conf 'buildpagesize' (rows/bucket page)
+
+    # -- build ---------------------------------------------------------------
+
+    def build(self, parts: PartitionedTable) -> None:
+        """Construct the bucket-sorted table.
+
+        BuildIsPart (build.inl:18-25): per-partition private builds — the
+        global stable sort by (partition, bucket, key) IS the concatenation
+        of the per-partition sorts, since partitions arrive contiguous.
+        BuildIsNotPart (build.inl:27-32): one shared build — global sort by
+        (bucket, key).  Both are one fused conflict-free program; they
+        differ in which precondition they rely on (hash-partition ⇒
+        disjoint buckets) and in the layout stats recorded.
+        """
+        table = parts.table
+        keys = jnp.asarray(table.key_column(self.ja1))
+        buckets = self.hashfn.hash(keys)
+        order = jnp.argsort(keys.astype(jnp.int64), stable=True)
+        self._build_keys_sorted = jnp.asarray(keys, keys.dtype)[order]
+        self._build_perm = order               # StorePointer: the "pointers"
+        self._build_table = table
+        occ = jnp.bincount(buckets, length=self.hashfn.buckets)
+        self.stats.build_rows = table.num_rows
+        self.stats.bucket_count = self.hashfn.buckets
+        self.stats.max_bucket_occupancy = int(jnp.max(occ)) if table.num_rows else 0
+        if self.storage == "copy":
+            # early materialization: gather payload columns into build order
+            # (numeric on device, strings host-side)
+            self._build_payload = [
+                np.asarray(table.column(c))[np.asarray(order)]
+                if table.schema.types[c - 1] == ColumnType.STRING
+                else jnp.asarray(table.column(c))[order]
+                for c in self.sel1]
+        else:
+            self._build_payload = None
+
+    # -- probe ---------------------------------------------------------------
+
+    def probe(self, parts: PartitionedTable) -> Table:
+        """ProbeIsPart walks this worker's partitions; ProbeSteal then
+        steals others' (probe.inl:18-52).  SPMD processes all partitions in
+        one program; the policy is honored through the cost plan recorded in
+        stats (the balanced chunking `steal` achieves dynamically)."""
+        table = parts.table
+        probe_keys = jnp.asarray(table.key_column(self.ja2))
+        lo, hi, total = _match_bounds(self._build_keys_sorted, probe_keys)
+        total = int(total)
+        self.stats.probe_rows = table.num_rows
+
+        if self.partition_probe or self.steal:
+            # per-partition probe cost: Σ (matches + 1) over the partition's
+            # probe rows — the work a thread owning that partition would do
+            counts = np.asarray(hi - lo, dtype=np.int64) + 1
+            cum = np.concatenate([[0], np.cumsum(counts)])
+            starts = np.asarray(parts.offsets, np.int64)
+            ends = starts + np.asarray(parts.sizes, np.int64)
+            costs = cum[ends] - cum[starts]
+            self.stats.partition_probe_costs = costs
+            if self.steal:
+                # static steal plan: equal-cost contiguous chunks
+                target = max(1, int(costs.sum()) // max(1, parts.nparts))
+                self.stats.stolen_balance = np.minimum(costs, target)
+
+        if self.storage == "copy":
+            payload_cols = self._build_payload
+            out = self._emit(table, lo, hi, total, payload_cols)
+        else:
+            # late materialization: emit gathers through the row pointers
+            payload_cols = [jnp.asarray(self._build_table.column(c))[self._build_perm]
+                            for c in self.sel1]
+            out = self._emit(table, lo, hi, total, payload_cols)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# NestedLoops (algo/nl.cpp)
+# ---------------------------------------------------------------------------
+
+class NestedLoops(BaseJoiner):
+    """Blocked all-pairs equi-join (algo/nl.cpp joinPagePage1).  Kept for the
+    small/unhashable case and as the brute-force oracle: build tiles stream
+    through VMEM against the whole probe vector; counts and emit positions
+    are exact.  O(|R|·|S|) — use only for small inputs."""
+
+    def __init__(self, output_page_size: int = 1 << 20, tile: int = 4096):
+        super().__init__(None, output_page_size)
+        self.tile = tile
+
+    def build(self, parts: PartitionedTable) -> None:
+        self._build_table = parts.table
+        self.stats.build_rows = parts.table.num_rows
+
+    def probe(self, parts: PartitionedTable) -> Table:
+        table = parts.table
+        bkeys = jnp.asarray(self._build_table.key_column(self.ja1)).astype(jnp.int64)
+        pkeys = jnp.asarray(table.key_column(self.ja2)).astype(jnp.int64)
+        self.stats.probe_rows = table.num_rows
+        # order-insensitive: sort the build side once, reuse the searchsorted
+        # kernel — the blocked compare loop of nl.cpp computes the same set;
+        # on TPU the sorted formulation is the speed-of-light one, and the
+        # tiled compare survives below as the count cross-check in debug.
+        order = jnp.argsort(bkeys, stable=True)
+        skeys = bkeys[order]
+        self._pkeys_cache = pkeys
+        lo, hi, total = _match_bounds(skeys, pkeys)
+        payload_cols = [jnp.asarray(self._build_table.column(c))[order]
+                        for c in self.sel1]
+        return self._emit(table, lo, hi, int(total), payload_cols)
+
+    def brute_count(self) -> int:
+        """Tiled all-pairs count — the literal nl.cpp loop, for validation."""
+        bkeys = jnp.asarray(self._build_table.key_column(self.ja1)).astype(jnp.int64)
+        total = jnp.zeros((), jnp.int64)
+        # pad build side to tile multiple with a sentinel no key can equal
+        pad = (-bkeys.shape[0]) % self.tile
+        bp = jnp.pad(bkeys, (0, pad), constant_values=jnp.iinfo(jnp.int64).min)
+        pkeys = getattr(self, "_pkeys_cache", None)
+        if pkeys is None:
+            raise RuntimeError("call probe() first")
+        def body(carry, tile_keys):
+            return carry + jnp.sum(
+                (tile_keys[None, :] == pkeys[:, None]).astype(jnp.int64)), None
+        total, _ = jax.lax.scan(body, total, bp.reshape(-1, self.tile))
+        return int(total)
+
+
+# ---------------------------------------------------------------------------
+# FlatMemoryJoiner (algo/flatmem.cpp)
+# ---------------------------------------------------------------------------
+
+class FlatMemoryJoiner(BaseJoiner):
+    """Radix flat-array build + histogram-range probe (flatmem.cpp:70-177).
+
+    The build *is* the radix partitioner's output (build() just runs the
+    final split, flatmem.cpp:104-109); probe finds each key's bucket range
+    from the inclusive histogram (bstart = hist[b-1], bitems = hist[b] -
+    bstart) and scans it.  Here the radix-partitioned flat array is sorted
+    within partitions, so the range scan is a bucket-masked searchsorted:
+    composite (bucket << 32 | key) makes both steps one binary search.
+    """
+
+    def __init__(self, hashfn: HashFunction,
+                 partitioner: RadixPartitioner,
+                 output_page_size: int = 1 << 20):
+        super().__init__(hashfn, output_page_size)
+        self.partitioner = partitioner
+
+    def init(self, schema1, select1, jattr1, schema2, select2, jattr2):
+        # reference asserts jattr1 == first column and select = rest
+        # (flatmem.cpp:75-81); we support the general layout.
+        super().init(schema1, select1, jattr1, schema2, select2, jattr2)
+
+    def build(self, parts: PartitionedTable) -> None:
+        """parts must come from the RadixPartitioner (driver wires this);
+        the flat array is its reordered table."""
+        table = parts.table
+        keys = jnp.asarray(table.key_column(self.ja1)).astype(jnp.int64)
+        buckets = self.partitioner.hashfn.hash(
+            table.key_column(self.ja1)).astype(jnp.int64)
+        comp = (buckets << 32) | (keys & 0xFFFFFFFF)
+        order = jnp.argsort(comp, stable=True)
+        self._flat_comp = comp[order]
+        self._order = order
+        self._build_table = table
+        self.stats.build_rows = table.num_rows
+        self.stats.bucket_count = self.partitioner.hashfn.buckets
+
+    def probe(self, parts: PartitionedTable) -> Table:
+        table = parts.table
+        pkeys = jnp.asarray(table.key_column(self.ja2)).astype(jnp.int64)
+        pbuckets = self.partitioner.hashfn.hash(
+            table.key_column(self.ja2)).astype(jnp.int64)
+        pcomp = (pbuckets << 32) | (pkeys & 0xFFFFFFFF)
+        lo = jnp.searchsorted(self._flat_comp, pcomp, side="left", method="sort")
+        hi = jnp.searchsorted(self._flat_comp, pcomp, side="right", method="sort")
+        total = int(jnp.sum((hi - lo).astype(jnp.int64)))
+        self.stats.probe_rows = table.num_rows
+        payload_cols = [jnp.asarray(self._build_table.column(c))[self._order]
+                        for c in self.sel1]
+        return self._emit(table, lo, hi, total, payload_cols)
+
+
+# ---------------------------------------------------------------------------
+# Factory (joinerfactory.cpp:23-75)
+# ---------------------------------------------------------------------------
+
+def joiner_factory(conf: dict, hashfn: HashFunction,
+                   build_partitioner=None) -> BaseJoiner:
+    """Instantiate the lattice from the conf's algorithm group:
+    flatmem/copydata/partitionbuild/partitionprobe/steal strings, exactly the
+    reference's dispatch (joinerfactory.cpp:28-70)."""
+    algo = conf.get("algorithm", {})
+    yes = lambda k, d="no": str(algo.get(k, d)).lower() == "yes"
+    if yes("flatmem"):
+        if not isinstance(build_partitioner, RadixPartitioner):
+            raise ValueError("flatmem requires a radix build partitioner "
+                             "(flatmem.cpp custominit)")
+        return FlatMemoryJoiner(hashfn, build_partitioner)
+    if str(algo.get("nestedloops", "no")).lower() == "yes":
+        return NestedLoops()
+    return HashJoiner(
+        hashfn,
+        storage="copy" if yes("copydata", "yes") else "pointer",
+        partition_build=yes("partitionbuild"),
+        partition_probe=yes("partitionprobe"),
+        steal=yes("steal"),
+        build_page_size=algo.get("buildpagesize", 32),
+    )

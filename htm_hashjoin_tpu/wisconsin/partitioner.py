@@ -1,0 +1,221 @@
+"""Partitioner family — mc/wisconsin-src/partitioner.cpp:69-757 re-designed
+for SPMD vector execution.
+
+The reference's partitioners move tuples between page chains under various
+concurrency disciplines:
+
+  * Partitioner           — no-op single split            (:69-114)
+  * ParallelPartitioner   — shared output partitions, atomic appends (:117-180)
+  * IndependentPartitioner— thread-private partitions, concatenated  (:183-263)
+  * DerekPartitioner      — contiguous (non-round-robin) split       (:266-268)
+  * RadixPartitioner      — multi-pass MSB radix: per-thread histograms,
+                            prefix-sum combine, scatter passes        (:336-520)
+
+On a TPU there are no threads to isolate, so every variant reduces to one
+conflict-free plan: histogram (segment-sum) → exclusive scan → stable
+reorder, executed as a fused sort.  The variants are kept because their
+*outputs* differ — which rows land in which partition, and in what order —
+and the joiner policies depend on that:
+
+  * Parallel: partitions ordered by input position (stable by arrival).
+  * Independent: partitions ordered by (source shard, position) — each
+    shard's contribution is contiguous inside a partition.
+  * Radix: recursive digit decomposition using ModuloHash.generate(passes),
+    final histogram exposed for FlatMemoryJoiner's range probe.
+
+All return a ``PartitionedTable``: the reordered table + per-partition
+offset/size arrays (the SplitResult analog, partitioner.h:29).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hashfn import HashFunction, ModuloHash, hash_factory
+from .table import Table
+
+
+@dataclasses.dataclass
+class PartitionedTable:
+    """SplitResult analog: table rows grouped so partition p occupies rows
+    [offsets[p], offsets[p] + sizes[p])."""
+
+    table: Table
+    sizes: np.ndarray      # (nparts,) int64
+    offsets: np.ndarray    # (nparts,) int64 exclusive prefix sums
+    perm: np.ndarray       # original row index of each reordered row
+
+    @property
+    def nparts(self) -> int:
+        return int(self.sizes.shape[0])
+
+    def partition_rows(self, p: int) -> np.ndarray:
+        s, e = int(self.offsets[p]), int(self.offsets[p] + self.sizes[p])
+        return np.arange(s, e)
+
+
+def _reorder(table: Table, jattr: int, buckets: jax.Array, nparts: int,
+             rank_bias: Optional[jax.Array] = None) -> PartitionedTable:
+    """One conflict-free partitioning pass: stable sort rows by bucket id
+    (optionally biased by a secondary rank) and gather every column.
+
+    This single fused program subsumes the reference's histogram + barrier +
+    prefix-sum + scatter pipeline (partitioner.cpp:336-520) — the histogram
+    and offsets fall out of a bincount, and the scatter is the sort's gather.
+    """
+    n = table.num_rows
+    rank = buckets.astype(jnp.int64)
+    if rank_bias is not None:
+        rank = rank * jnp.int64(n + 1) + rank_bias.astype(jnp.int64)
+    perm = jnp.argsort(rank, stable=True)
+    hist = jnp.bincount(buckets, length=nparts)
+    offsets = jnp.concatenate([jnp.zeros((1,), hist.dtype),
+                               jnp.cumsum(hist)[:-1]])
+    perm_np = np.asarray(perm)
+    cols = [np.asarray(c)[perm_np] if np.asarray(c).dtype == object
+            else None for c in table.columns]
+    # numeric columns gather on device, string columns on host
+    out_cols = []
+    for c, host in zip(table.columns, cols):
+        if host is not None:
+            out_cols.append(host)
+        else:
+            out_cols.append(np.asarray(jnp.asarray(c)[perm]))
+    out = Table(table.schema, out_cols, table.page_size)
+    return PartitionedTable(out, np.asarray(hist, np.int64),
+                            np.asarray(offsets, np.int64), perm_np)
+
+
+class NoPartitioner:
+    """'algorithm: "no"' — a single partition containing the whole input
+    (Partitioner::split, partitioner.cpp:69-114)."""
+
+    def __init__(self, hashfn: Optional[HashFunction] = None,
+                 page_size: int = 1 << 20, attribute: int = 1,
+                 nthreads: int = 1):
+        self.hashfn = hashfn
+        self.attribute = attribute
+
+    def split(self, table: Table) -> PartitionedTable:
+        n = table.num_rows
+        return PartitionedTable(table, np.array([n], np.int64),
+                                np.array([0], np.int64), np.arange(n))
+
+
+class ParallelPartitioner(NoPartitioner):
+    """'algorithm: "parallel"' — all workers append to shared output
+    partitions (partitioner.cpp:117-180).  TPU: one stable reorder; stability
+    gives the same arrival-order-within-partition observable."""
+
+    def __init__(self, hashfn: HashFunction, page_size: int = 1 << 20,
+                 attribute: int = 1, nthreads: int = 1):
+        super().__init__(hashfn, page_size, attribute, nthreads)
+
+    def split(self, table: Table) -> PartitionedTable:
+        keys = jnp.asarray(table.key_column(self.attribute))
+        buckets = self.hashfn.hash(keys)
+        return _reorder(table, self.attribute, buckets, self.hashfn.buckets)
+
+
+class IndependentPartitioner(ParallelPartitioner):
+    """'algorithm: "independent"' — thread-private partitions concatenated
+    per bucket (partitioner.cpp:183-263).  TPU: same reorder with a
+    (shard, position) secondary rank so each of ``nthreads`` logical shards
+    is contiguous within a partition, matching the reference's layout."""
+
+    def __init__(self, hashfn: HashFunction, page_size: int = 1 << 20,
+                 attribute: int = 1, nthreads: int = 8):
+        super().__init__(hashfn, page_size, attribute, nthreads)
+        self.nthreads = nthreads
+
+    def split(self, table: Table) -> PartitionedTable:
+        n = table.num_rows
+        keys = jnp.asarray(table.key_column(self.attribute))
+        buckets = self.hashfn.hash(keys)
+        # logical shard of each row under the reference's round-robin page
+        # split (table.cpp:238-272)
+        page = jnp.arange(n, dtype=jnp.int64) // table.page_size
+        shard = page % self.nthreads
+        # rank bias orders rows by shard within a bucket; sort stability
+        # keeps original position within (bucket, shard)
+        return _reorder(table, self.attribute, buckets, self.hashfn.buckets,
+                        rank_bias=shard)
+
+
+class DerekPartitioner(NoPartitioner):
+    """'algorithm: "derek"' — contiguous equal split without hashing
+    (partitioner.cpp:266-268: overrides split only)."""
+
+    def __init__(self, hashfn: Optional[HashFunction] = None,
+                 page_size: int = 1 << 20, attribute: int = 1,
+                 nthreads: int = 8):
+        super().__init__(hashfn, page_size, attribute, nthreads)
+        self.nthreads = nthreads
+
+    def split(self, table: Table) -> PartitionedTable:
+        n = table.num_rows
+        base, rem = divmod(n, self.nthreads)
+        sizes = np.full((self.nthreads,), base, np.int64)
+        sizes[:rem] += 1
+        offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        return PartitionedTable(table, sizes, offsets, np.arange(n))
+
+
+class RadixPartitioner(ParallelPartitioner):
+    """'algorithm: "radix"' — multi-pass MSB radix partitioning
+    (partitioner.cpp:336-520: createhistogram / combinehistogram /
+    realsplit loop over passes).
+
+    Because every pass here is a stable sort on disjoint digit masks
+    (hash.cpp generate()), the composition over passes equals one stable
+    sort on the full bucket id — so we execute the passes in one fused
+    reorder and keep the per-pass functions only to honor the configured
+    decomposition (and for the multi-pass VMEM-tiling story, SURVEY.md §5
+    long-context analog)."""
+
+    def __init__(self, hashfn: ModuloHash, page_size: int = 1 << 20,
+                 attribute: int = 1, nthreads: int = 1, passes: int = 1):
+        super().__init__(hashfn, page_size, attribute, nthreads)
+        self.passes = passes
+        self.pass_fns = (hashfn.generate(passes)
+                         if isinstance(hashfn, ModuloHash) and passes > 1
+                         else [hashfn])
+        self.histogram: Optional[np.ndarray] = None  # FlatMemoryJoiner hook
+
+    def split(self, table: Table) -> PartitionedTable:
+        res = super().split(table)
+        # inclusive histogram, as FlatMemoryJoiner::probe consumes it
+        # (flatmem.cpp: bstart = histogram[curbuc-1], bitems = hist[b]-bstart)
+        self.histogram = np.cumsum(res.sizes)
+        return res
+
+
+_PARTITIONERS = {
+    "no": NoPartitioner,
+    "parallel": ParallelPartitioner,
+    "independent": IndependentPartitioner,
+    "derek": DerekPartitioner,
+    "radix": RadixPartitioner,
+}
+
+
+def partitioner_factory(node: dict, hash_node: dict, nthreads: int):
+    """PartitionerFactory (partitionerfactory.cpp:23-42) from parsed conf:
+    node = partitioner.build / partitioner.probe, hash_node =
+    partitioner.hash."""
+    algo = node["algorithm"]
+    if algo not in _PARTITIONERS:
+        raise ValueError(f"unknown partitioner {algo!r}")
+    hashfn = hash_factory(hash_node) if algo != "no" else None
+    kwargs = dict(page_size=node.get("pagesize", 1 << 20),
+                  attribute=node.get("attribute", 1), nthreads=nthreads)
+    if algo == "radix":
+        kwargs["passes"] = node.get("passes", 1)
+    if algo == "no":
+        return NoPartitioner(hashfn, **kwargs)
+    return _PARTITIONERS[algo](hashfn, **kwargs)

@@ -1,0 +1,173 @@
+"""Columnar tables — the TPU re-design of the Wisconsin paged storage
+engine (mc/wisconsin-src/{table,page,loader}.{h,cpp}).
+
+The reference stores tuples in linked chains of bump-allocated byte pages
+(page.h TupleBuffer; table.h:68-253 readNext/atomicReadNext cursors;
+nontemporalappend16 NT-store append at table.h:193).  All of that machinery
+exists to let multiple threads stream over shared memory; a TPU program
+streams HBM through XLA, so the natural layout is one array per column.
+
+What survives from the reference, re-expressed:
+
+  * ``page_size`` — rows per logical page.  No longer an allocation unit;
+    it is the *work-tiling* unit: ``split`` carves the table into
+    page-sized row blocks and deals them round-robin exactly like
+    Table::split (table.cpp:238-272), so partitioner/joiner work
+    assignment matches the reference's.
+  * ``WriteTable.generate`` — the generation bridge (table.cpp:206-233):
+    zipf>0 → zipf relation, size==alphabet → pk, else fk, using the
+    framework's seeded JAX generators.
+  * ``load``/``save`` — '|'-separated text files, the Loader/DataWriter
+    analog (loader.cpp; conf 'file:' entries like 016M_build.tbl).
+  * ``.npz`` binary persist — the PERSIST_RELATIONS analog
+    (mc/src/generator.c:211-224), far faster for big relations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .schema import ColumnType, Schema
+
+
+@dataclasses.dataclass
+class Table:
+    """Immutable columnar table: one numpy/JAX array per schema column.
+
+    ``PageCursor`` equivalents are (start, stop) row blocks from split().
+    """
+
+    schema: Schema
+    columns: List[np.ndarray]
+    page_size: int = 1 << 20   # rows per logical page (conf 'pagesize')
+
+    @property
+    def num_rows(self) -> int:
+        return 0 if not self.columns else int(self.columns[0].shape[0])
+
+    def column(self, i: int) -> np.ndarray:
+        """1-based column accessor (reference conf attribute/select indices
+        are 1-based, e.g. ``jattr: 1``)."""
+        return self.columns[i - 1]
+
+    def key_column(self, jattr: int) -> np.ndarray:
+        col = self.column(jattr)
+        if self.schema.types[jattr - 1] == ColumnType.STRING:
+            raise TypeError("join attribute must be numeric")
+        return col
+
+    def split(self, nparts: int) -> List[np.ndarray]:
+        """Round-robin page split: page p goes to part p % nparts
+        (Table::split, table.cpp:238-272).  Returns per-part row-index
+        arrays; on TPU these drive gather-based work assignment instead of
+        pointer chasing."""
+        n = self.num_rows
+        pages = [np.arange(s, min(s + self.page_size, n))
+                 for s in range(0, n, self.page_size)]
+        parts: List[List[np.ndarray]] = [[] for _ in range(nparts)]
+        for p, rows in enumerate(pages):
+            parts[p % nparts].append(rows)
+        return [np.concatenate(b) if b else np.empty((0,), np.int64)
+                for b in parts]
+
+    def gather(self, rows: np.ndarray) -> "Table":
+        return Table(self.schema, [np.asarray(c)[rows] for c in self.columns],
+                     self.page_size)
+
+    def save(self, path: str, separator: str = "|") -> None:
+        """Text .tbl writer (the output: 'test.tbl' conf entry)."""
+        if path.endswith(".npz"):
+            np.savez(path, *[np.asarray(c) for c in self.columns])
+            return
+        cols = [np.asarray(c) for c in self.columns]
+        with open(path, "w") as f:
+            for i in range(self.num_rows):
+                f.write(separator.join(str(c[i]) for c in cols) + "\n")
+
+    def checksum(self, col: int = 1) -> int:
+        """Σ of a numeric column — conservation oracle hook."""
+        return int(np.asarray(self.column(col), dtype=np.int64).sum())
+
+
+class WriteTable(Table):
+    """Appendable table (reference WriteTable, table.h:200-253).  Appends
+    buffer host-side in chunks; ``finalize`` concatenates once — the bump
+    allocator analog without per-tuple work."""
+
+    def __init__(self, schema: Schema, page_size: int = 1 << 20):
+        super().__init__(schema, schema.empty_columns(), page_size)
+        self._chunks: List[List[np.ndarray]] = []
+
+    def append_batch(self, cols: Sequence[np.ndarray]) -> None:
+        if len(cols) != self.schema.columns():
+            raise ValueError("column count mismatch")
+        self._chunks.append([np.asarray(c) for c in cols])
+
+    def finalize(self) -> None:
+        if self._chunks:
+            self.columns = [
+                np.concatenate([self.columns[i]] + [c[i] for c in self._chunks])
+                for i in range(self.schema.columns())]
+            self._chunks = []
+
+    # -- generation bridge (table.cpp:206-233) ------------------------------
+
+    def generate(self, relation_size: int, alphabet_size: int,
+                 zipf_param: float, seed: int) -> None:
+        """WriteTable::generate semantics: zipf when zipf_param>0, pk when
+        size==alphabet, fk otherwise (table.cpp:214-227).  Column 1 is the
+        key; remaining numeric columns get the 1-based row id (the tuple
+        payload / rid convention of mc/src/types.h tuple_t)."""
+        from ..data import generators as G
+        from ..config import Distribution
+
+        if zipf_param > 0.0:
+            keys = G.zipf_keys(relation_size, alphabet_size, zipf_param, seed)
+        elif relation_size == alphabet_size:
+            keys = G.pk_keys(relation_size, seed)
+        else:
+            keys = G.fk_from_pk_keys(relation_size, alphabet_size, seed)
+        keys = np.asarray(keys)
+        cols = []
+        for i, t in enumerate(self.schema.types):
+            if i == 0:
+                cols.append(keys.astype(t.dtype) if t != ColumnType.STRING
+                            else keys.astype(str).astype(object))
+            elif t == ColumnType.STRING:
+                cols.append(np.arange(1, relation_size + 1).astype(str)
+                            .astype(object))
+            else:
+                cols.append(np.arange(1, relation_size + 1, dtype=t.dtype))
+        self.append_batch(cols)
+        self.finalize()
+
+    # -- text loader (loader.cpp) -------------------------------------------
+
+    def load(self, path: str, separators: str = "|") -> None:
+        """Field-separated text loader (Loader::load, loader.cpp; conf
+        'file:'/'path:' entries).  .npz files load binary-fast."""
+        if path.endswith(".npz"):
+            with np.load(path, allow_pickle=True) as data:
+                self.append_batch([data[k] for k in data.files])
+            self.finalize()
+            return
+        raw = [[] for _ in range(self.schema.columns())]
+        with open(path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                fields = line.split(separators[0])
+                for i in range(self.schema.columns()):
+                    raw[i].append(fields[i])
+        cols = []
+        for i, t in enumerate(self.schema.types):
+            if t == ColumnType.STRING:
+                cols.append(np.array(raw[i], dtype=object))
+            else:
+                cols.append(np.array(raw[i], dtype=t.dtype))
+        self.append_batch(cols)
+        self.finalize()

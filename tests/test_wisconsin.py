@@ -1,0 +1,462 @@
+"""Tests for the Wisconsin multijoin subsystem (SURVEY.md §2.3).
+
+Oracle strategy follows the reference's embedded validation (SURVEY.md §4):
+PK⋈FK match counts equal the FK side size exactly, outputs are permutations
+of expected rid sets, and every lattice point produces the identical join
+result set.
+"""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from htm_hashjoin_tpu.wisconsin import (
+    DerekPartitioner, FlatMemoryJoiner, HashJoiner, IndependentPartitioner,
+    MagicHash, ModuloHash, NestedLoops, NoPartitioner, ParallelPartitioner,
+    RadixPartitioner, RangePartitionHash, Schema, Table, WriteTable,
+    hash_factory, joiner_factory, parse_conf, parse_conf_string,
+    partitioner_factory, run_multijoin,
+)
+
+CONF_DIR = os.path.join(os.path.dirname(__file__), "..",
+                        "htm_hashjoin_tpu", "wisconsin", "conf")
+
+
+# ---------------------------------------------------------------------------
+# conf parser
+# ---------------------------------------------------------------------------
+
+SAMPLE = textwrap.dedent("""
+    # comment
+    path: "/tmp/x";   // trailing comment
+    bucksize: 1048576 ;
+    group: {
+        inner: { algorithm: "radix"; passes: 2; };
+        arr: [1, 16777216];  /* block
+                                comment */
+        lst: ("long", "long");
+        f: 0.75;
+        flag: true;
+    };
+    threads: 8;
+""")
+
+
+def test_conf_parser_subset():
+    c = parse_conf_string(SAMPLE)
+    assert c["path"] == "/tmp/x"
+    assert c["bucksize"] == 1048576
+    assert c["group"]["inner"]["algorithm"] == "radix"
+    assert c["group"]["inner"]["passes"] == 2
+    assert c["group"]["arr"] == [1, 16777216]
+    assert c["group"]["lst"] == ["long", "long"]
+    assert c["group"]["f"] == 0.75
+    assert c["group"]["flag"] is True
+    assert c["threads"] == 8
+
+
+@pytest.mark.parametrize("name", ["no_partition.conf", "radix1.conf",
+                                  "steal.conf", "flatmem.conf"])
+def test_shipped_confs_parse(name):
+    c = parse_conf(os.path.join(CONF_DIR, name))
+    assert c["build"]["schema"] == ["long", "long"]
+    assert c["partitioner"]["hash"]["fn"] == "modulo"
+    assert c["threads"] == 8
+
+
+def test_reference_conf_parses_if_available():
+    ref = "/root/reference/mc/wisconsin-src/conf/002048_radix1.conf"
+    if not os.path.exists(ref):
+        pytest.skip("reference not mounted")
+    c = parse_conf(ref)
+    assert c["partitioner"]["build"]["algorithm"] == "radix"
+    assert c["partitioner"]["hash"]["buckets"] == 2048
+    assert c["algorithm"]["copydata"] == "yes"
+
+
+# ---------------------------------------------------------------------------
+# hash functions (hash.h:53-113 semantics)
+# ---------------------------------------------------------------------------
+
+def test_modulo_hash_semantics():
+    h = ModuloHash(1, 16777216, 2048, skipbits=12)
+    vals = np.array([1, 4097, 16777216, 12345678], np.int64)
+    expect = (((vals - 1) & (2047 << 12)) >> 12)
+    assert np.array_equal(np.asarray(h.hash(vals)), expect)
+    assert h.buckets == 2048
+
+
+def test_modulo_hash_rounds_to_pow2():
+    assert ModuloHash(0, 100, 1000).buckets == 1024
+    assert ModuloHash(0, 100, 1).buckets == 2  # reference: k<=1 -> _k=1
+
+
+def test_range_hash_semantics():
+    h = RangePartitionHash(1, 1024, 4)
+    vals = np.arange(1, 1025)
+    out = np.asarray(h.hash(vals))
+    assert out.min() == 0 and out.max() == 3
+    # equal-width ranges
+    assert np.array_equal(np.bincount(out), np.full(4, 256))
+
+
+def test_magic_hash_semantics():
+    h = MagicHash(0, 1 << 20, 4096)
+    vals = np.array([0b1011010, 12345], np.int64)
+    expect = ((((vals >> 2) & ~np.int64(7)) | (vals & 7)) & (h.buckets - 1))
+    assert np.array_equal(np.asarray(h.hash(vals)), expect)
+
+
+def test_modulo_generate_multipass_disjoint_masks():
+    """hash.cpp DEBUG assert: per-pass masks disjoint, union == full mask."""
+    h = ModuloHash(0, 1 << 24, 1 << 12, skipbits=3)
+    for passes in (1, 2, 3, 4):
+        fns = h.generate(passes)
+        masks = [f._mask for f in fns]
+        union = 0
+        for m in masks:
+            assert union & m == 0
+            union |= m
+        assert union == h._mask
+
+
+def test_hash_factory():
+    node = {"fn": "modulo", "range": [1, 16777216], "buckets": 2048,
+            "skipbits": 12}
+    h = hash_factory(node)
+    assert isinstance(h, ModuloHash) and h.buckets == 2048
+    assert isinstance(hash_factory({"fn": "range", "range": [0, 100],
+                                    "buckets": 8}), RangePartitionHash)
+    assert isinstance(hash_factory({"fn": "magic", "range": [0, 100],
+                                    "buckets": 8}), MagicHash)
+
+
+# ---------------------------------------------------------------------------
+# tables
+# ---------------------------------------------------------------------------
+
+def _pk_table(n, seed=1, page_size=256):
+    s = Schema.create(("long", "long"))
+    wt = WriteTable(s, page_size)
+    wt.generate(n, n, 0.0, seed)
+    return wt
+
+
+def test_writetable_generate_pk():
+    t = _pk_table(1000)
+    keys = np.asarray(t.column(1))
+    assert sorted(keys) == list(range(1, 1001))
+    assert np.array_equal(np.asarray(t.column(2)), np.arange(1, 1001))
+
+
+def test_writetable_generate_fk():
+    s = Schema.create(("long", "long"))
+    wt = WriteTable(s)
+    wt.generate(4000, 1000, 0.0, 3)
+    keys = np.asarray(wt.column(1))
+    counts = np.bincount(keys, minlength=1001)[1:]
+    assert counts.sum() == 4000 and counts.min() >= 3 and counts.max() <= 5
+
+
+def test_writetable_generate_zipf():
+    s = Schema.create(("long", "long"))
+    wt = WriteTable(s)
+    wt.generate(5000, 1000, 0.99, 7)
+    keys = np.asarray(wt.column(1))
+    assert keys.min() >= 1 and keys.max() <= 1000
+    # skew: the hottest key much hotter than uniform expectation (5/key)
+    assert np.bincount(keys).max() > 25
+
+
+def test_table_tbl_roundtrip(tmp_path):
+    t = _pk_table(100)
+    p = str(tmp_path / "x.tbl")
+    t.save(p)
+    wt = WriteTable(t.schema)
+    wt.load(p)
+    assert np.array_equal(np.asarray(wt.column(1)), np.asarray(t.column(1)))
+    assert np.array_equal(np.asarray(wt.column(2)), np.asarray(t.column(2)))
+
+
+def test_table_npz_roundtrip(tmp_path):
+    t = _pk_table(100)
+    p = str(tmp_path / "x.npz")
+    t.save(p)
+    wt = WriteTable(t.schema)
+    wt.load(p)
+    assert np.array_equal(np.asarray(wt.column(1)), np.asarray(t.column(1)))
+
+
+def test_table_split_round_robin():
+    t = _pk_table(1000, page_size=100)  # 10 pages
+    parts = t.split(3)
+    # pages 0,3,6,9 -> part 0; 1,4,7 -> 1; 2,5,8 -> 2 (table.cpp:238-272)
+    assert [len(p) for p in parts] == [400, 300, 300]
+    assert parts[0][0] == 0 and parts[1][0] == 100 and parts[2][0] == 200
+    assert sorted(np.concatenate(parts)) == list(range(1000))
+
+
+# ---------------------------------------------------------------------------
+# partitioners
+# ---------------------------------------------------------------------------
+
+def _check_partitioning(pt, table, hashfn, attribute=1):
+    assert pt.sizes.sum() == table.num_rows
+    keys = np.asarray(pt.table.column(attribute))
+    for p in range(pt.nparts):
+        rows = pt.partition_rows(p)
+        if len(rows):
+            assert np.all(np.asarray(hashfn.hash(keys[rows])) == p)
+
+
+def test_parallel_partitioner():
+    t = _pk_table(2000)
+    h = ModuloHash(1, 2000, 16)
+    pt = ParallelPartitioner(h).split(t)
+    _check_partitioning(pt, t, h)
+    # stability: original order preserved within a partition
+    perm = pt.perm
+    for p in range(pt.nparts):
+        rows = pt.partition_rows(p)
+        assert np.all(np.diff(perm[rows]) > 0)
+
+
+def test_independent_partitioner_shard_contiguity():
+    t = _pk_table(2000, page_size=250)  # 8 pages over 4 shards
+    h = ModuloHash(1, 2000, 8)
+    pp = IndependentPartitioner(h, page_size=250, nthreads=4)
+    pt = pp.split(t)
+    _check_partitioning(pt, t, h)
+    # within a partition, source shards appear in order (partitioner.cpp:183-263)
+    for p in range(pt.nparts):
+        rows = pt.partition_rows(p)
+        shards = (pt.perm[rows] // 250) % 4
+        assert np.all(np.diff(shards) >= 0)
+
+
+def test_derek_partitioner_contiguous():
+    t = _pk_table(1003)
+    pt = DerekPartitioner(nthreads=4).split(t)
+    assert list(pt.sizes) == [251, 251, 251, 250]
+    assert np.array_equal(pt.perm, np.arange(1003))
+
+
+def test_radix_partitioner_histogram():
+    t = _pk_table(4096)
+    h = ModuloHash(1, 4096, 64)
+    rp = RadixPartitioner(h, passes=2)
+    pt = rp.split(t)
+    _check_partitioning(pt, t, h)
+    assert rp.histogram is not None
+    assert rp.histogram[-1] == 4096  # inclusive histogram (flatmem.cpp probe)
+
+
+def test_partitioner_factory():
+    hash_node = {"fn": "modulo", "range": [1, 4096], "buckets": 64,
+                 "skipbits": 0}
+    p = partitioner_factory({"algorithm": "radix", "pagesize": 1024,
+                             "attribute": 1, "passes": 2}, hash_node, 8)
+    assert isinstance(p, RadixPartitioner) and p.passes == 2
+    assert isinstance(partitioner_factory({"algorithm": "no"}, hash_node, 8),
+                      NoPartitioner)
+
+
+# ---------------------------------------------------------------------------
+# joiner lattice
+# ---------------------------------------------------------------------------
+
+def _run_lattice_point(storage, pbuild, pprobe, steal=False, n_r=512, n_s=2048):
+    tb = _pk_table(n_r, seed=11)
+    s = Schema.create(("long", "long"))
+    tp = WriteTable(s)
+    tp.generate(n_s, n_r, 0.0, 22)  # FK side: every key appears n_s/n_r times
+    h = ModuloHash(1, n_r, 64)
+    part_h = ModuloHash(1, n_r, 16)
+    joiner = HashJoiner(h, storage=storage, partition_build=pbuild,
+                        partition_probe=pprobe, steal=steal)
+    joiner.init(tb.schema, [2], 1, tp.schema, [2], 1)
+    pb = (ParallelPartitioner(part_h) if pbuild else NoPartitioner()).split(tb)
+    pp = (ParallelPartitioner(part_h) if (pprobe or steal)
+          else NoPartitioner()).split(tp)
+    joiner.build(pb)
+    out = joiner.probe(pp)
+    return out, joiner, tb, tp
+
+
+LATTICE = [(s, b, p) for s in ("copy", "pointer")
+           for b in (False, True) for p in (False, True)]
+
+
+@pytest.mark.parametrize("storage,pbuild,pprobe", LATTICE)
+def test_hash_joiner_lattice_exact(storage, pbuild, pprobe):
+    out, joiner, tb, tp = _run_lattice_point(storage, pbuild, pprobe)
+    assert out.num_rows == 2048          # PK⋈FK: |S| matches exactly
+    # every output row joins matching rids: build payload rid r such that
+    # build key[r-1]... verify via key reconstruction
+    bkey_of_rid = np.empty(513, np.int64)
+    bkey_of_rid[np.asarray(tb.column(2))] = np.asarray(tb.column(1))
+    pkey_of_rid = np.empty(2049, np.int64)
+    pkey_of_rid[np.asarray(tp.column(2))] = np.asarray(tp.column(1))
+    joined_bkeys = bkey_of_rid[np.asarray(out.column(1))]
+    joined_pkeys = pkey_of_rid[np.asarray(out.column(2))]
+    assert np.array_equal(joined_bkeys, joined_pkeys)
+    # every probe rid appears exactly once (PK build side)
+    assert sorted(np.asarray(out.column(2))) == list(range(1, 2049))
+
+
+def test_lattice_points_all_agree():
+    results = []
+    for storage, pbuild, pprobe in LATTICE:
+        out, *_ = _run_lattice_point(storage, pbuild, pprobe)
+        pairs = np.stack([np.asarray(out.column(1)),
+                          np.asarray(out.column(2))])
+        order = np.lexsort(pairs)
+        results.append(pairs[:, order])
+    for r in results[1:]:
+        assert np.array_equal(results[0], r)
+
+
+def test_probe_steal_stats_and_exactness():
+    out, joiner, _, _ = _run_lattice_point("copy", False, True, steal=True)
+    assert out.num_rows == 2048
+    assert joiner.stats.partition_probe_costs is not None
+    assert joiner.stats.partition_probe_costs.sum() >= 2048
+    assert joiner.stats.stolen_balance is not None
+
+
+def test_steal_with_partition_build_rejected():
+    h = ModuloHash(1, 64, 8)
+    with pytest.raises(ValueError):
+        HashJoiner(h, partition_build=True, steal=True)
+
+
+def test_duplicate_keys_multiset_semantics():
+    """Duplicates on both sides multiply (m×n matches per key)."""
+    s = Schema.create(("long", "long"))
+    tb = WriteTable(s)
+    tb.append_batch([np.array([5, 5, 7], np.int64),
+                     np.array([1, 2, 3], np.int64)])
+    tb.finalize()
+    tp = WriteTable(s)
+    tp.append_batch([np.array([5, 7, 7, 9], np.int64),
+                     np.array([1, 2, 3, 4], np.int64)])
+    tp.finalize()
+    j = HashJoiner(ModuloHash(0, 16, 8))
+    j.init(s, [2], 1, s, [2], 1)
+    j.build(NoPartitioner().split(tb))
+    out = j.probe(NoPartitioner().split(tp))
+    assert out.num_rows == 2 * 1 + 1 * 2  # key5: 2x1, key7: 1x2
+    assert j.stats.output_rows == 4
+
+
+def test_nested_loops_matches_hash_join():
+    out_nl_joiner = NestedLoops()
+    tb = _pk_table(128, seed=5)
+    s = Schema.create(("long", "long"))
+    tp = WriteTable(s)
+    tp.generate(512, 128, 0.0, 6)
+    out_nl_joiner.init(tb.schema, [2], 1, tp.schema, [2], 1)
+    out_nl_joiner.build(NoPartitioner().split(tb))
+    out = out_nl_joiner.probe(NoPartitioner().split(tp))
+    assert out.num_rows == 512
+    assert out_nl_joiner.brute_count() == 512
+
+
+def test_flatmem_joiner_matches():
+    tb = _pk_table(1024, seed=8)
+    s = Schema.create(("long", "long"))
+    tp = WriteTable(s)
+    tp.generate(4096, 1024, 0.0, 9)
+    h = ModuloHash(1, 1024, 64)
+    rp = RadixPartitioner(h, passes=2)
+    j = FlatMemoryJoiner(h, rp)
+    j.init(tb.schema, [2], 1, tp.schema, [2], 1)
+    j.build(rp.split(tb))
+    out = j.probe(NoPartitioner().split(tp))
+    assert out.num_rows == 4096
+    assert sorted(np.asarray(out.column(2))) == list(range(1, 4097))
+
+
+def test_joiner_factory_lattice_dispatch():
+    h = ModuloHash(1, 64, 8)
+    j = joiner_factory({"algorithm": {"copydata": "yes",
+                                      "partitionbuild": "no",
+                                      "partitionprobe": "yes",
+                                      "steal": "yes"}}, h)
+    assert isinstance(j, HashJoiner) and j.steal and j.storage == "copy"
+    j2 = joiner_factory({"algorithm": {"copydata": "no",
+                                       "partitionbuild": "yes",
+                                       "partitionprobe": "no"}}, h)
+    assert j2.storage == "pointer" and j2.partition_build
+    rp = RadixPartitioner(h, passes=1)
+    j3 = joiner_factory({"algorithm": {"flatmem": "yes"}}, h,
+                        build_partitioner=rp)
+    assert isinstance(j3, FlatMemoryJoiner)
+    with pytest.raises(ValueError):
+        joiner_factory({"algorithm": {"flatmem": "yes"}}, h,
+                       build_partitioner=NoPartitioner())
+
+
+# ---------------------------------------------------------------------------
+# end-to-end driver
+# ---------------------------------------------------------------------------
+
+SMALL_CONF = textwrap.dedent("""
+    path: ".";
+    bucksize: 65536;
+    partitioner: {
+        build: { algorithm: "radix"; pagesize: 1024; attribute: 1; passes: 1; };
+        probe: { algorithm: "radix"; pagesize: 1024; attribute: 1; passes: 1; };
+        hash:  { fn: "modulo"; range: [1, 4096]; buckets: 16; };
+    };
+    build: {
+        file: "r.tbl"; schema: ("long", "long"); jattr: 1; select: (2);
+        generate: true; relation-size: 4096; alphabet-size: 4096;
+        zipf-param: 0.00; seed: 12345;
+    };
+    probe: {
+        file: "s.tbl"; schema: ("long", "long"); jattr: 1; select: (2);
+        generate: true; relation-size: 16384; alphabet-size: 4096;
+        zipf-param: 0.00; seed: 54321;
+    };
+    output: "out.tbl";
+    hash: { fn: "modulo"; range: [1, 4096]; buckets: 2048; };
+    algorithm: {
+        copydata: "yes"; partitionbuild: "yes";
+        buildpagesize: 32; partitionprobe: "yes";
+    };
+    threads: 4;
+""")
+
+
+def test_run_multijoin_end_to_end(tmp_path):
+    conf = parse_conf_string(SMALL_CONF)
+    res = run_multijoin(conf, base_path=str(tmp_path))
+    assert res.output_rows == 16384       # PK⋈FK exact
+    assert set(res.timings_ns) >= {"generate", "split_build", "split_probe",
+                                   "build", "probe"}
+    line = res.to_json_line()
+    assert '"outputRows": 16384' in line
+
+
+def test_run_multijoin_from_file_with_output(tmp_path):
+    p = tmp_path / "small.conf"
+    p.write_text(SMALL_CONF)
+    res = run_multijoin(str(p), write_output=True, base_path=str(tmp_path))
+    assert res.output_rows == 16384
+    out = tmp_path / "out.tbl"
+    assert out.exists()
+    first = out.read_text().splitlines()[0].split("|")
+    assert len(first) == 2
+
+
+def test_multijoin_zipf_skew_conf(tmp_path):
+    conf = parse_conf_string(SMALL_CONF)
+    conf["probe"]["zipf-param"] = 0.99
+    conf["algorithm"]["partitionbuild"] = "no"
+    conf["algorithm"]["steal"] = "yes"
+    res = run_multijoin(conf, base_path=str(tmp_path))
+    assert res.output_rows == 16384       # zipf FK still joins every tuple
+    assert res.stats.stolen_balance is not None

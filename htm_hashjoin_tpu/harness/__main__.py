@@ -1,0 +1,31 @@
+"""CLI: ``python -m htm_hashjoin_tpu.harness <grid>|all [options]`` — the
+experiments/*.sh + runner.sh equivalent."""
+
+import argparse
+import sys
+
+from .grids import GRIDS
+from .runner import run_all, run_grid
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("grid", choices=sorted(GRIDS) + ["all"],
+                   help="experiment grid to run ('all' = runner.sh)")
+    p.add_argument("--scale", type=int, default=20,
+                   help="log2 rSize (reference scale: 27)")
+    p.add_argument("--reps", type=int, default=5,
+                   help="repetitions per grid (runner.sh N=5)")
+    p.add_argument("--outDir", default=None,
+                   help="write <grid>_log<i> files here")
+    a = p.parse_args(argv)
+    if a.grid == "all":
+        run_all(scale=a.scale, reps=a.reps,
+                out_dir=a.outDir or "experiments/logs")
+    else:
+        run_grid(a.grid, scale=a.scale, reps=a.reps, out_dir=a.outDir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

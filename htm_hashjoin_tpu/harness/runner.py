@@ -1,0 +1,66 @@
+"""Grid runner — experiments/runner.sh re-designed as one process.
+
+The reference runs each grid script N=5 times, one *process per grid point*
+(runner.sh:3-41), paying full binary startup and data regeneration each
+point.  Here a whole grid runs in one process: jitted programs are reused
+across points that share shapes (XLA compile cache), and each repetition
+appends one JSON line to ``<name>_log<rep>`` — the same log-file convention
+the reference keeps in experiments/new_backup/*_log{1..5}, so downstream
+diffing works the same way.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import List, Optional
+
+from ..config import JoinConfig
+from ..data.generators import build_relations
+from .grids import GRIDS, RUNNER_ORDER
+
+
+def run_config(cfg: JoinConfig) -> str:
+    """One grid point → one JSON metrics line (the reference binaries' stdout
+    contract, HTMHashBuild.hpp:417-449)."""
+    from ..joins import DISPATCH
+    r, s = build_relations(cfg)
+    if cfg.mesh_shape:
+        from ..parallel.dist_join import distributed_join
+        metrics = distributed_join(r, s, cfg)
+    else:
+        metrics = DISPATCH[cfg.algo.value](r, s, cfg)
+    return metrics.to_json_line()
+
+
+def run_grid(name: str, *, scale: int = 20, reps: int = 5,
+             out_dir: Optional[str] = None, echo: bool = True) -> List[str]:
+    """Run grid ``name`` ``reps`` times; write <name>_log<i> files when
+    out_dir is given.  Returns the last repetition's lines."""
+    if name not in GRIDS:
+        raise ValueError(f"unknown grid {name!r}; have {sorted(GRIDS)}")
+    lines: List[str] = []
+    for rep in range(1, reps + 1):
+        lines = []
+        t0 = time.time()
+        for cfg in GRIDS[name](scale):
+            line = run_config(cfg)
+            lines.append(line)
+            if echo:
+                print(line, flush=True)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, f"{name}_log{rep}"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+        if echo:
+            print(f"# {name} rep {rep}/{reps}: {len(lines)} points in "
+                  f"{time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    return lines
+
+
+def run_all(*, scale: int = 20, reps: int = 5,
+            out_dir: str = "experiments/logs") -> None:
+    """runner.sh: every grid, N repetitions, logs on disk."""
+    for name in RUNNER_ORDER:
+        run_grid(name, scale=scale, reps=reps, out_dir=out_dir)

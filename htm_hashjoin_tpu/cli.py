@@ -19,7 +19,8 @@ from .data.generators import build_relations
 from .joins import DISPATCH
 
 
-def parse_args(argv=None) -> JoinConfig:
+def parse_args(argv=None):
+    """Returns (JoinConfig, (profile_dir, want_throughput))."""
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--algo", default="htm", choices=[a.value for a in Algo])
     p.add_argument("--rSize", type=int, default=1 << 20)
@@ -47,8 +48,14 @@ def parse_args(argv=None) -> JoinConfig:
     p.add_argument("--skewHandling", action="store_true")
     p.add_argument("--meshShape", type=str, default="",
                    help="comma-separated mesh, e.g. '8' for 8-way data parallel")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run (the PCM "
+                        "dump analog, SURVEY.md §5)")
+    p.add_argument("--throughput", action="store_true",
+                   help="also print the ns/tuple report (mc print_timing "
+                        "analog, no_partitioning_join.c:313-333)")
     a = p.parse_args(argv)
-    return JoinConfig(
+    cfg = JoinConfig(
         algo=Algo(a.algo), r_size=a.rSize, s_size=a.sSize,
         transaction_size=a.transactionSize, probe_length=a.probeLength,
         data_distr=Distribution(a.dataDistr), shuffle_range=a.shuffleRange,
@@ -59,17 +66,32 @@ def parse_args(argv=None) -> JoinConfig:
         adaptive=a.adaptive, skew_handling=a.skewHandling,
         mesh_shape=tuple(int(x) for x in a.meshShape.split(",") if x),
     )
+    return cfg, (a.profile, a.throughput)
 
 
 def main(argv=None) -> int:
-    cfg = parse_args(argv)
+    import contextlib
+    import json
+
+    cfg, (profile_dir, want_throughput) = parse_args(argv)
     r, s = build_relations(cfg)
-    if cfg.mesh_shape:
-        from .parallel.dist_join import distributed_join
-        metrics = distributed_join(r, s, cfg)
-    else:
-        metrics = DISPATCH[cfg.algo.value](r, s, cfg)
+    ctx = contextlib.nullcontext()
+    if profile_dir:
+        from .utils.profiler import trace
+        ctx = trace(profile_dir)
+    with ctx:
+        if cfg.mesh_shape:
+            from .parallel.dist_join import distributed_join
+            metrics = distributed_join(r, s, cfg)
+        else:
+            metrics = DISPATCH[cfg.algo.value](r, s, cfg)
     print(metrics.to_json_line())
+    if want_throughput:
+        from .utils.profiler import throughput_report
+        total = metrics.hashBuildTimeInMicroseconds + (
+            metrics.probeTimeInMicroseconds or 0.0)
+        n = cfg.r_size + (cfg.s_size if metrics.probeTimeInMicroseconds else 0)
+        print(json.dumps(throughput_report(n, total)))
     return 0
 
 

@@ -1,0 +1,103 @@
+"""Tests for the observability layer (SURVEY.md §5 profiling tiers)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from htm_hashjoin_tpu.utils.profiler import (
+    PerfCounters, cost_analysis, shard_work_from_histogram, sync_stats,
+    throughput_report, trace)
+
+
+def test_throughput_report_fields():
+    rep = throughput_report(1_000_000, 10_000.0)  # 1M tuples in 10ms
+    assert rep["numTuples"] == 1_000_000
+    assert rep["nsPerTuple"] == pytest.approx(10.0)
+    assert rep["tuplesPerSecond"] == pytest.approx(1e8)
+
+
+def test_throughput_cycles_with_clock(monkeypatch):
+    monkeypatch.setenv("TPU_CLOCK_GHZ", "1.75")
+    rep = throughput_report(1000, 1.0)  # 1ns/tuple
+    assert rep["cyclesPerTuple"] == pytest.approx(1.75)
+
+
+def test_cost_analysis_reports_flops():
+    def f(a, b):
+        return a @ b
+    x = jnp.ones((128, 128), jnp.float32)
+    ca = cost_analysis(f, x, x)
+    assert ca.get("flops", 0) >= 2 * 128**3 * 0.9
+
+
+def test_perf_counters_defaults_and_derived():
+    def f(a):
+        return jnp.sum(a * 2.0)
+    x = jnp.ones((1 << 16,), jnp.float32)
+    pc = PerfCounters()
+    out = pc.measure(f, x, micros=100.0)
+    assert set(out) == {"flops", "bytes", "intensity", "bandwidth"}
+    assert out["bytes"] > 0
+    assert out["bandwidth"] > 0  # bytes / 100µs
+
+
+def test_perf_counters_from_config(tmp_path):
+    cfg = tmp_path / "events.cfg"
+    cfg.write_text("# comment\nmyflops=flops\nai=arithmetic_intensity\n")
+    pc = PerfCounters.from_config(str(cfg))
+    out = pc.measure(lambda a: a @ a, jnp.ones((64, 64)))
+    assert set(out) == {"myflops", "ai"}
+    assert out["myflops"] > 0
+
+
+def test_shipped_profiler_cfg_loads():
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "htm_hashjoin_tpu", "utils", "profiler.cfg")
+    pc = PerfCounters.from_config(path)
+    assert set(pc.events) == {"flops", "bytes", "intensity", "bandwidth"}
+
+
+def test_sync_stats_imbalance():
+    # one hot shard: everyone else waits for it
+    s = sync_stats([100, 10, 10, 10])
+    assert s["criticalShard"] == 0
+    assert s["waits"] == [0.0, 90.0, 90.0, 90.0]
+    assert s["imbalance"] == pytest.approx(270 / 400)
+    # perfectly balanced: zero waits
+    s = sync_stats([50, 50])
+    assert s["imbalance"] == 0.0
+    assert sync_stats([])["imbalance"] == 0.0
+
+
+def test_shard_work_from_histogram():
+    hist = np.array([5, 1, 1, 1, 5, 1, 1, 1])  # partitions 0,4 heavy
+    w = shard_work_from_histogram(hist, 4)
+    assert list(w) == [10, 2, 2, 2]  # p%4 assignment folds both onto shard 0
+    # non-divisible histogram pads with zeros
+    w = shard_work_from_histogram(np.array([3, 3, 3]), 2)
+    assert w.sum() == 9
+
+
+def test_trace_writes_profile(tmp_path):
+    d = str(tmp_path / "prof")
+    with trace(d):
+        jax.block_until_ready(jnp.arange(1024) * 2)
+    found = []
+    for root, _, files in os.walk(d):
+        found += files
+    assert found, "profiler trace produced no files"
+
+
+def test_cli_throughput_flag(capsys):
+    from htm_hashjoin_tpu.cli import main
+    main(["--algo", "nocc", "--rSize", "4096", "--dataDistr", "sorted",
+          "--throughput"])
+    out = capsys.readouterr().out.strip().split("\n")
+    assert len(out) == 2
+    import json
+    rep = json.loads(out[1])
+    assert rep["numTuples"] == 8192  # build + probe tuples
+    assert rep["tuplesPerSecond"] > 0

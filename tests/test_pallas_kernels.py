@@ -155,3 +155,34 @@ def test_abort_retry_on_underestimated_window():
                                 locality_window=4, interpret=True)
     assert build.violations > 0 and build.resorted
     assert m == N
+
+
+def test_pipelined_join_fast_path():
+    """The fence-free pipeline: one readback, exact matches + conservation."""
+    from htm_hashjoin_tpu.joins.pallas_backend import banded_join_pipelined
+    r = local_shuffled_keys(N, 8, 3)
+    out = banded_join_pipelined(r, sorted_keys(N), tile=2048,
+                                locality_window=8, interpret=True)
+    assert out.matches == N
+    assert out.violations == 0 and out.overflow_tiles == 0
+    assert out.output_sum == N * (N + 1) // 2
+    assert not out.resorted
+
+
+def test_pipelined_join_abort_retry():
+    """Underestimated window -> violations detected in the single readback ->
+    bitonic retry reruns the device chain (the HTM abort protocol)."""
+    from htm_hashjoin_tpu.joins.pallas_backend import banded_join_pipelined
+    r = local_shuffled_keys(N, 64, 0)
+    out = banded_join_pipelined(r, sorted_keys(N), tile=2048,
+                                locality_window=4, interpret=True)
+    assert out.resorted and out.matches == N
+    assert out.output_sum == N * (N + 1) // 2
+
+
+def test_pipelined_join_duplicates_general():
+    from htm_hashjoin_tpu.joins.pallas_backend import banded_join_pipelined
+    r = uniform_keys(N, N // 4, 16, 0)
+    s = sorted_keys(N)
+    out = banded_join_pipelined(r, s, tile=2048, interpret=True)
+    assert out.matches == reference_match_count(r, s)

@@ -26,9 +26,26 @@ overflows int32); we enable jax x64 at import time.  All hot-path arrays are
 explicitly int32.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the banded megakernels take tens of seconds
+# of Mosaic compile time; caching makes every CLI/harness process after the
+# first start warm.  Opt out with HTM_HASHJOIN_NO_COMPILE_CACHE=1.
+if not os.environ.get("HTM_HASHJOIN_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "htm_hashjoin_tpu",
+                     "xla"))
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
 
 from .version import __version__  # noqa: E402
 from .relation import Relation  # noqa: E402

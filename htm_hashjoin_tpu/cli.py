@@ -48,6 +48,10 @@ def parse_args(argv=None):
     p.add_argument("--skewHandling", action="store_true")
     p.add_argument("--meshShape", type=str, default="",
                    help="comma-separated mesh, e.g. '8' for 8-way data parallel")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="kernel backend (auto = banded Pallas engine on TPU "
+                        "when the plan qualifies)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run (the PCM "
                         "dump analog, SURVEY.md §5)")
@@ -65,6 +69,7 @@ def parse_args(argv=None):
         enable_probe=not a.noProbe, retry=not a.noRetry, track=a.track,
         adaptive=a.adaptive, skew_handling=a.skewHandling,
         mesh_shape=tuple(int(x) for x in a.meshShape.split(",") if x),
+        backend=a.backend,
     )
     return cfg, (a.profile, a.throughput)
 

@@ -85,6 +85,12 @@ class JoinConfig:
     mesh_shape: Tuple[int, ...] = ()      # empty = single device
     shuffle_capacity_factor: float = 2.0  # all_to_all padded bucket slack
 
+    # Kernel backend: 'auto' picks the Pallas banded engine on accelerator
+    # backends when the plan qualifies (sorted probe side, packable keys),
+    # 'pallas' forces it (interpret-mode on CPU), 'xla' forces the scatter/
+    # sort XLA formulation.
+    backend: str = "auto"
+
     def __post_init__(self):
         if self.s_size is None:
             object.__setattr__(self, "s_size", self.r_size)

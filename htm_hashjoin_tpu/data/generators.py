@@ -195,8 +195,11 @@ def build_relations(cfg: JoinConfig) -> tuple[Relation, Relation]:
                       zipf_param=cfg.zipf_param)
     if cfg.data_distr == Distribution.RANDOM:
         s_keys = r[: cfg.s_size] if cfg.s_size <= cfg.r_size else jnp.resize(r, (cfg.s_size,))
+        s_sorted = False
     elif cfg.data_distr in (Distribution.ZIPF, Distribution.FK):
         s_keys = fk_from_pk_keys(cfg.s_size, cfg.r_size, cfg.seed + 1)
+        s_sorted = False
     else:
         s_keys = sorted_keys(cfg.s_size)
-    return Relation(r), Relation(s_keys)
+        s_sorted = True
+    return Relation(r), Relation(s_keys, assume_sorted=s_sorted)

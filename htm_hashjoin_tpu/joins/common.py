@@ -99,3 +99,72 @@ def resolve_relations(r: Relation, s: Optional[Relation],
                       cfg: JoinConfig) -> Tuple[jax.Array, Optional[jax.Array]]:
     skeys = s.keys if (s is not None and cfg.enable_probe) else None
     return r.keys, skeys
+
+
+# ---------------------------------------------------------------------------
+# Pallas banded-engine plan selection.
+#
+# The banded megakernels (ops/pallas/join_kernels.py) are the production
+# single-chip path: XLA scatter/gather run ~20x below HBM bandwidth on this
+# hardware, while the dense sort/merge kernels stream at full rate.  The
+# plan qualifies when the probe side is sorted (generator-certified) and
+# keys pack into the int32 composite (< 2^29).
+# ---------------------------------------------------------------------------
+
+_PACK_LIMIT = 1 << 29
+
+
+def _max_key_bound(cfg: JoinConfig) -> int:
+    """Conservative upper bound on key values from the generator contract
+    (SURVEY.md §2.1 DataGen semantics).  RANDOM draws the full int32 range."""
+    if cfg.data_distr == Distribution.RANDOM:
+        return jnp.iinfo(jnp.int32).max
+    return max(cfg.r_size, cfg.s_size or 0, cfg.distinct_keys or 0)
+
+
+def use_pallas_engine(cfg: JoinConfig, s: Optional[Relation]) -> bool:
+    if cfg.backend == "xla" or cfg.mesh_shape:
+        return False
+    if s is None or not cfg.enable_probe or not s.assume_sorted:
+        return False
+    if _max_key_bound(cfg) >= _PACK_LIMIT:
+        return False
+    if cfg.backend == "pallas":
+        return True
+    # auto: megakernels on accelerators only (interpret mode is for tests)
+    return jax.default_backend() != "cpu"
+
+
+def pallas_plan(cfg: JoinConfig):
+    """(locality_window, presort) for the banded engine.  Bounded-
+    displacement distributions take the optimistic odd-even sorter; global
+    permutations and duplicate-key distributions take the sort-first (radix)
+    plan."""
+    if cfg.data_distr == Distribution.SORTED:
+        return 1, False
+    if cfg.data_distr in (Distribution.LOCAL_SHUFFLE, Distribution.PK_LSHUFFLE):
+        if cfg.shuffle_range <= 128:
+            return max(1, cfg.shuffle_range), False
+    return None, True
+
+
+def pallas_metrics(cfg: JoinConfig, algo: str, outcome, elapsed_us: float,
+                   matches: Optional[int]) -> JoinMetrics:
+    """Fold a BandedJoinOutcome into the reference metrics schema."""
+    m = JoinMetrics(algo=algo, rSize=cfg.r_size,
+                    transactionSize=cfg.transaction_size,
+                    probeLength=cfg.probe_length,
+                    conflictCount=outcome.overflow_tiles,
+                    failedTransactions=outcome.violations,
+                    inputSum=outcome.input_sum,
+                    outputSum=outcome.output_sum,
+                    hashBuildTimeInMicroseconds=elapsed_us)
+    if matches is not None:
+        m.totalMatches = matches
+    m.extra["backend"] = "pallas_banded"
+    m.extra["resorted"] = outcome.resorted
+    if cfg.r_size:
+        m.failedTransactionPercentage = 100.0 * m.failedTransactions / cfg.r_size
+        m.totalFailedPercentage = 100.0 * (
+            m.failedTransactions + m.conflictCount) / cfg.r_size
+    return m

@@ -33,7 +33,8 @@ from ..ops import insert, probe
 from ..utils.metrics import JoinMetrics
 from ..utils.timing import PhaseTimer
 from .common import (SpillState, finish_metrics, htm_num_buckets,
-                     keys_are_unique, resolve_relations)
+                     keys_are_unique, pallas_metrics, pallas_plan,
+                     resolve_relations, use_pallas_engine)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -70,6 +71,8 @@ def simulate_adaptive_tsize(chunk_fail, t0: int) -> list[int]:
 
 def htm_join(r: Relation, s: Optional[Relation] = None,
              cfg: JoinConfig = JoinConfig()) -> JoinMetrics:
+    if use_pallas_engine(cfg, s):
+        return _htm_join_pallas(r, s, cfg)
     rkeys, skeys = resolve_relations(r, s, cfg)
     timer = PhaseTimer()
     num_buckets = htm_num_buckets(cfg.r_size)
@@ -97,3 +100,21 @@ def htm_join(r: Relation, s: Optional[Relation] = None,
             [float(x) for x in chunk_fail], cfg.transaction_size)
         m.extra["adaptiveTransactionSizeFinal"] = trace[-1] if trace else cfg.transaction_size
     return finish_metrics(m, timer, matches)
+
+
+def _htm_join_pallas(r: Relation, s: Relation, cfg: JoinConfig) -> JoinMetrics:
+    """The banded Pallas engine as the HTM build+probe (the production TPU
+    path): optimistic odd-even tile sort = the transaction, sortedness
+    violations = aborts, bitonic re-sort = TM_RETRY, band overflow = the
+    conflicts spill.  One host sync on the fast path."""
+    import time
+
+    from .pallas_backend import banded_join_pipelined
+
+    window, presort = pallas_plan(cfg)
+    interpret = jax.default_backend() == "cpu"
+    t0 = time.perf_counter()
+    out = banded_join_pipelined(r.keys, s.keys, locality_window=window,
+                                presort=presort, interpret=interpret)
+    elapsed_us = (time.perf_counter() - t0) * 1e6
+    return pallas_metrics(cfg, "htm", out, elapsed_us, out.matches)

@@ -180,6 +180,7 @@ class BandedJoinOutcome(NamedTuple):
     overflow_tiles: int  # tiles whose S band exceeded max_chunks (skew)
     output_sum: int      # Σ keys in the build artifact (conservation oracle)
     resorted: bool       # bitonic retry ran (TM_RETRY analog)
+    input_sum: int = 0   # Σ input keys (== output_sum ⇔ no tuple lost)
 
 
 def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
@@ -189,8 +190,11 @@ def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
     count, with violations/overflow/conservation folded into the outputs.
     Nothing here blocks; the caller fences once."""
     rows_per_tile = tile // LANES
-    sorted2d = sort_tiles(r2d, tile=tile, method=method,
-                          passes=max(1, passes), interpret=interpret)
+    if method == "presorted":     # globally sorted input is tile-sorted
+        sorted2d = r2d
+    else:
+        sorted2d = sort_tiles(r2d, tile=tile, method=method,
+                              passes=max(1, passes), interpret=interpret)
     mins, maxs, viols = tile_stats(sorted2d, rows_per_tile)
     off, end = _slice_offsets(skeys_sorted, mins, maxs)
     row_off = off // LANES
@@ -204,13 +208,15 @@ def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
                           interpret=interpret)
     matches = _sum_i64(counts)
     out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
-    return (matches, _sum_i64(viols), _sum_i64(overflow), out_sum,
+    in_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
+    return (matches, _sum_i64(viols), _sum_i64(overflow), out_sum, in_sum,
             sorted2d, off, end)
 
 
 def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                           tile: int = DEFAULT_TILE,
                           locality_window: Optional[int] = None,
+                          presort: bool = False,
                           max_chunks: int = 4, interpret: bool = False,
                           s2d: Optional[jax.Array] = None
                           ) -> BandedJoinOutcome:
@@ -220,26 +226,34 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
     through; violations or band overflow surface in the single readback and
     trigger the exact repair pass — the HTM abort→retry protocol
     (HTMHashBuild.hpp:188-238) with the host round trip paid only on actual
-    aborts."""
-    r2d = to_tiles_2d(rkeys, tile)
+    aborts.  ``presort=True`` globally sorts R first (XLA sort) — the
+    radix-path plan for data without locality: tiles become disjoint ranges,
+    so bands stay narrow regardless of distribution."""
+    if presort:
+        r2d = to_tiles_2d(jnp.sort(rkeys), tile)
+        method, passes = "presorted", 0
+    else:
+        r2d = to_tiles_2d(rkeys, tile)
+        use_oddeven = (locality_window is not None
+                       and 0 < locality_window <= 128)
+        method = "oddeven" if use_oddeven else "bitonic"
+        passes = locality_window if use_oddeven else 0
     if s2d is None:
         s2d = prepare_probe_side(skeys_sorted, tile, max_chunks)
-    use_oddeven = locality_window is not None and 0 < locality_window <= 128
-    method = "oddeven" if use_oddeven else "bitonic"
     res = _banded_join_device(r2d, s2d, skeys_sorted, tile=tile,
-                              method=method,
-                              passes=locality_window if use_oddeven else 0,
+                              method=method, passes=passes,
                               max_chunks=max_chunks, interpret=interpret)
-    matches, viols, overflow, out_sum, sorted2d, off, end = res
-    bundle = np.asarray(jnp.stack([matches, viols, overflow, out_sum]))
+    matches, viols, overflow, out_sum, in_sum, sorted2d, off, end = res
+    bundle = np.asarray(jnp.stack([matches, viols, overflow, out_sum,
+                                   in_sum]))
     resorted = False
-    if use_oddeven and bundle[1] > 0:   # abort → exact retry
+    if method == "oddeven" and bundle[1] > 0:   # abort → exact retry
         res = _banded_join_device(r2d, s2d, skeys_sorted, tile=tile,
                                   method="bitonic", passes=0,
                                   max_chunks=max_chunks, interpret=interpret)
-        matches, viols, overflow, out_sum, sorted2d, off, end = res
+        matches, viols, overflow, out_sum, in_sum, sorted2d, off, end = res
         bundle = np.asarray(jnp.stack([matches, jnp.zeros_like(viols),
-                                       overflow, out_sum]))
+                                       overflow, out_sum, in_sum]))
         resorted = True
     matches_i = int(bundle[0])
     overflow_i = int(bundle[2])
@@ -255,4 +269,4 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
             s_slice = skeys_sorted[int(off_np[t]):int(end_np[t])]
             matches_i += int(probe_ops.probe_sorted(r_tile, s_slice))
     return BandedJoinOutcome(matches_i, int(bundle[1]), overflow_i,
-                             int(bundle[3]), resorted)
+                             int(bundle[3]), resorted, int(bundle[4]))

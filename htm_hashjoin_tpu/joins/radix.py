@@ -37,7 +37,8 @@ from ..relation import Relation
 from ..ops import partition, probe
 from ..utils.metrics import JoinMetrics
 from ..utils.timing import PhaseTimer
-from .common import finish_metrics, resolve_relations
+from .common import (finish_metrics, pallas_metrics, resolve_relations,
+                     use_pallas_engine)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -61,6 +62,21 @@ def radix_join(r: Relation, s: Optional[Relation] = None,
     mc/src/prj_params.h:15-22).  `hashed=True` partitions on murmur-mixed
     bits (breaks key-order correlation, as a hash join must when keys are
     not dense)."""
+    if use_pallas_engine(cfg, s):
+        import time
+
+        from .pallas_backend import banded_join_pipelined
+
+        interpret = jax.default_backend() == "cpu"
+        t0 = time.perf_counter()
+        out = banded_join_pipelined(r.keys, s.keys, presort=True,
+                                    interpret=interpret)
+        elapsed_us = (time.perf_counter() - t0) * 1e6
+        m = pallas_metrics(cfg, "radix", out, elapsed_us, out.matches)
+        m.partitionTimeInMicroseconds = elapsed_us
+        m.extra["radixBits"] = cfg.radix_bits
+        m.extra["numPasses"] = cfg.radix_passes
+        return m
     rkeys, skeys = resolve_relations(r, s, cfg)
     timer = PhaseTimer()
     composite_r, hist, in_sum, max_part = timer.timed(

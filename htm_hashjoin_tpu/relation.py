@@ -26,10 +26,14 @@ class Relation:
     """A join relation: int32 keys (values >= 1) and optional int32 payloads.
 
     mirrors relation_t (mc/src/types.h:41-46) with row ids implicit.
+    ``assume_sorted`` is a generator-provided plan hint (S is constructed
+    sorted for most driver distributions, main.cpp:93): sorted probe sides
+    unlock the banded Pallas engine without a re-sort.
     """
 
     keys: jax.Array
     payloads: Optional[jax.Array] = None
+    assume_sorted: bool = False
 
     @property
     def num_tuples(self) -> int:
@@ -44,11 +48,11 @@ class Relation:
         return np.asarray(self.keys)
 
     def tree_flatten(self):
-        return (self.keys, self.payloads), None
+        return (self.keys, self.payloads), self.assume_sorted
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, assume_sorted=aux)
 
 
 def next_pow2(v: int) -> int:

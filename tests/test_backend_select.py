@@ -1,0 +1,89 @@
+"""Tests for the Pallas backend selection (cfg.backend=auto|xla|pallas).
+
+On CPU, 'auto' keeps the XLA formulation; 'pallas' forces the banded
+engine in interpret mode — results must be identical either way.
+"""
+
+import json
+
+from htm_hashjoin_tpu.config import Algo, Distribution, JoinConfig
+from htm_hashjoin_tpu.data.generators import build_relations
+from htm_hashjoin_tpu.joins import htm_join, radix_join
+from htm_hashjoin_tpu.joins.common import pallas_plan, use_pallas_engine
+
+N = 1 << 13
+
+
+def _cfg(**kw):
+    base = dict(algo=Algo.HTM, r_size=N,
+                data_distr=Distribution.LOCAL_SHUFFLE, shuffle_range=16)
+    base.update(kw)
+    return JoinConfig(**base)
+
+
+def test_auto_stays_xla_on_cpu():
+    cfg = _cfg()
+    r, s = build_relations(cfg)
+    assert not use_pallas_engine(cfg, s)  # default backend is cpu in tests
+    m = htm_join(r, s, cfg)
+    assert "backend" not in m.extra
+
+
+def test_forced_pallas_matches_xla_htm():
+    cfg_x = _cfg(backend="xla")
+    cfg_p = _cfg(backend="pallas")
+    r, s = build_relations(cfg_x)
+    mx = htm_join(r, s, cfg_x)
+    mp = htm_join(r, s, cfg_p)
+    assert mp.extra["backend"] == "pallas_banded"
+    assert mp.totalMatches == mx.totalMatches == N
+    assert mp.inputSum == mp.outputSum == mx.inputSum
+
+
+def test_forced_pallas_matches_xla_radix_duplicates():
+    cfg_x = _cfg(algo=Algo.RADIX, data_distr=Distribution.UNIFORM,
+                 distinct_keys=N // 4, backend="xla")
+    cfg_p = _cfg(algo=Algo.RADIX, data_distr=Distribution.UNIFORM,
+                 distinct_keys=N // 4, backend="pallas")
+    r, s = build_relations(cfg_x)
+    mx = radix_join(r, s, cfg_x)
+    mp = radix_join(r, s, cfg_p)
+    assert mp.totalMatches == mx.totalMatches
+    assert mp.inputSum == mp.outputSum
+
+
+def test_eligibility_rules():
+    # unsorted probe side (zipf S is FK-shuffled) -> ineligible
+    cfg = _cfg(data_distr=Distribution.ZIPF, distinct_keys=N, backend="pallas")
+    _, s = build_relations(cfg)
+    assert not use_pallas_engine(cfg, s)
+    # RANDOM keys exceed the pack limit -> ineligible
+    cfg = _cfg(data_distr=Distribution.RANDOM, backend="pallas")
+    _, s = build_relations(cfg)
+    assert not use_pallas_engine(cfg, s)
+    # mesh runs use the distributed engine
+    cfg = _cfg(backend="pallas", mesh_shape=(2,))
+    _, s = build_relations(_cfg())
+    assert not use_pallas_engine(cfg, s)
+    # build-only runs have no probe side
+    cfg = _cfg(backend="pallas", enable_probe=False)
+    _, s = build_relations(_cfg())
+    assert not use_pallas_engine(cfg, s)
+
+
+def test_pallas_plan_selection():
+    assert pallas_plan(_cfg(data_distr=Distribution.SORTED)) == (1, False)
+    assert pallas_plan(_cfg(shuffle_range=64)) == (64, False)
+    # window beyond odd-even reach -> sort-first
+    assert pallas_plan(_cfg(shuffle_range=4096)) == (None, True)
+    assert pallas_plan(_cfg(data_distr=Distribution.SHUFFLE)) == (None, True)
+
+
+def test_cli_backend_flag(capsys):
+    from htm_hashjoin_tpu.cli import main
+    main(["--algo", "htm", "--rSize", str(N), "--dataDistr", "local_shuffle",
+          "--shuffleRange", "8", "--backend", "pallas"])
+    d = json.loads(capsys.readouterr().out.strip().split("\n")[0])
+    assert d["backend"] == "pallas_banded"
+    assert d["totalMatches"] == N
+    assert d["inputSum"] == d["outputSum"]

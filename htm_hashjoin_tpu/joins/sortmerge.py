@@ -20,7 +20,8 @@ from ..relation import Relation
 from ..ops import sortops
 from ..utils.metrics import JoinMetrics
 from ..utils.timing import PhaseTimer
-from .common import finish_metrics, resolve_relations
+from .common import (finish_metrics, pallas_metrics, resolve_relations,
+                     use_pallas_engine)
 
 
 @jax.jit
@@ -36,6 +37,24 @@ def _merge(sorted_r: jax.Array, sorted_s: jax.Array):
 
 def sortmerge_join(r: Relation, s: Optional[Relation] = None,
                    cfg: JoinConfig = JoinConfig()) -> JoinMetrics:
+    if use_pallas_engine(cfg, s):
+        # sort-merge IS the presort banded plan: global sort + banded
+        # merge-count megakernel (the two-pointer merge of SortMerge.cpp:22-36
+        # as an in-VMEM bitonic merge)
+        import time
+
+        from .pallas_backend import banded_join_pipelined
+
+        interpret = jax.default_backend() == "cpu"
+        t0 = time.perf_counter()
+        out = banded_join_pipelined(r.keys, s.keys, presort=True,
+                                    interpret=interpret)
+        elapsed_us = (time.perf_counter() - t0) * 1e6
+        m = pallas_metrics(cfg, "sortmerge", out, elapsed_us, out.matches)
+        m.sortTimeInMicroseconds = elapsed_us
+        m.mergeTimeInMicroseconds = 0.0
+        m.probeTimeInMicroseconds = 0.0
+        return m
     rkeys, skeys = resolve_relations(r, s, cfg)
     timer = PhaseTimer()
     sorted_r, in_sum = timer.timed("sort", _sort, rkeys)

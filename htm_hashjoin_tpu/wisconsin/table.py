@@ -148,12 +148,22 @@ class WriteTable(Table):
 
     def load(self, path: str, separators: str = "|") -> None:
         """Field-separated text loader (Loader::load, loader.cpp; conf
-        'file:'/'path:' entries).  .npz files load binary-fast."""
+        'file:'/'path:' entries).  .npz files load binary-fast; integer
+        schemas parse through the native parallel loader when built."""
         if path.endswith(".npz"):
             with np.load(path, allow_pickle=True) as data:
                 self.append_batch([data[k] for k in data.files])
             self.finalize()
             return
+        if all(t in (ColumnType.INT, ColumnType.LONG, ColumnType.POINTER)
+               for t in self.schema.types):
+            from ..data import tblio
+            mat = tblio.load_tbl(path, self.schema.columns(), separators[0])
+            if mat is not None:
+                self.append_batch([mat[:, i].astype(t.dtype) for i, t in
+                                   enumerate(self.schema.types)])
+                self.finalize()
+                return
         raw = [[] for _ in range(self.schema.columns())]
         with open(path) as f:
             for line in f:

@@ -87,3 +87,16 @@ def test_cli_backend_flag(capsys):
     assert d["backend"] == "pallas_banded"
     assert d["totalMatches"] == N
     assert d["inputSum"] == d["outputSum"]
+
+
+def test_forced_pallas_matches_xla_sortmerge():
+    from htm_hashjoin_tpu.joins import sortmerge_join
+    cfg_x = _cfg(algo=Algo.SORTMERGE, data_distr=Distribution.SHUFFLE,
+                 backend="xla")
+    cfg_p = _cfg(algo=Algo.SORTMERGE, data_distr=Distribution.SHUFFLE,
+                 backend="pallas")
+    r, s = build_relations(cfg_x)
+    mx = sortmerge_join(r, s, cfg_x)
+    mp = sortmerge_join(r, s, cfg_p)
+    assert mp.extra["backend"] == "pallas_banded"
+    assert mp.totalMatches == mx.totalMatches == N

@@ -57,3 +57,51 @@ def test_zipf_skew():
 def test_checksum():
     a = native.shuffled_keys(N, 0)
     assert native.checksum(a) == N * (N + 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# Native .tbl IO (native/tblio.cpp — the loader.cpp counterpart)
+# ---------------------------------------------------------------------------
+
+def test_native_tblio_roundtrip(tmp_path):
+    from htm_hashjoin_tpu.data import tblio
+    if not tblio.available():
+        pytest.skip("native tblio not built")
+    rng = np.random.default_rng(0)
+    data = rng.integers(-2**40, 2**40, size=(10_001, 3), dtype=np.int64)
+    p = str(tmp_path / "x.tbl")
+    assert tblio.write_tbl(p, data)
+    back = tblio.load_tbl(p, 3)
+    assert np.array_equal(back, data)
+
+
+def test_native_tblio_matches_python_loader(tmp_path):
+    from htm_hashjoin_tpu.data import tblio
+    from htm_hashjoin_tpu.wisconsin import Schema, WriteTable
+    if not tblio.available():
+        pytest.skip("native tblio not built")
+    s = Schema.create(("long", "long"))
+    wt = WriteTable(s)
+    wt.generate(5000, 5000, 0.0, 9)
+    p = str(tmp_path / "t.tbl")
+    wt.save(p)
+    # native-loaded table equals the generated one
+    wt2 = WriteTable(s)
+    wt2.load(p)
+    assert np.array_equal(np.asarray(wt2.column(1)), np.asarray(wt.column(1)))
+    assert np.array_equal(np.asarray(wt2.column(2)), np.asarray(wt.column(2)))
+    # and equals a pure-python parse
+    rows = [tuple(map(int, ln.split("|")))
+            for ln in open(p).read().splitlines() if ln]
+    assert np.array_equal(np.asarray(wt2.column(1)),
+                          np.array([r[0] for r in rows]))
+
+
+def test_native_tblio_skips_empty_lines(tmp_path):
+    from htm_hashjoin_tpu.data import tblio
+    if not tblio.available():
+        pytest.skip("native tblio not built")
+    p = tmp_path / "gaps.tbl"
+    p.write_text("1|2\n\n3|4\n\n\n5|6\n")
+    back = tblio.load_tbl(str(p), 2)
+    assert np.array_equal(back, np.array([[1, 2], [3, 4], [5, 6]]))

@@ -48,7 +48,9 @@ def main():
     int(rkeys[0]); int(skeys[0]); int(s2d[0, 0])   # inputs resident on device
 
     # warm-up: compiles every kernel and validates correctness + conservation
-    out = banded_join_pipelined(rkeys, skeys, locality_window=WINDOW, s2d=s2d)
+    # (both sides are permutations of 1..N — the unique-keys count applies)
+    out = banded_join_pipelined(rkeys, skeys, locality_window=WINDOW,
+                                unique_both=True, s2d=s2d)
     assert out.matches == n, f"expected {n} matches, got {out.matches}"
     assert out.output_sum == n * (n + 1) // 2, "conservation violated"
     assert out.violations == 0 and out.overflow_tiles == 0
@@ -57,7 +59,7 @@ def main():
     for _ in range(REPS):
         t0 = time.perf_counter()
         out = banded_join_pipelined(rkeys, skeys, locality_window=WINDOW,
-                                    s2d=s2d)
+                                    unique_both=True, s2d=s2d)
         best = min(best, time.perf_counter() - t0)
     assert out.matches == n
 

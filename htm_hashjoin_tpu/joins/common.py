@@ -137,13 +137,13 @@ def use_pallas_engine(cfg: JoinConfig, s: Optional[Relation]) -> bool:
 
 def pallas_plan(cfg: JoinConfig):
     """(locality_window, presort) for the banded engine.  Bounded-
-    displacement distributions take the optimistic odd-even sorter; global
-    permutations and duplicate-key distributions take the sort-first (radix)
-    plan."""
+    displacement distributions take an optimistic in-tile sorter (odd-even
+    or shifted-block bitonic by window size); global permutations and
+    duplicate-key distributions take the sort-first (radix) plan."""
     if cfg.data_distr == Distribution.SORTED:
         return 1, False
     if cfg.data_distr in (Distribution.LOCAL_SHUFFLE, Distribution.PK_LSHUFFLE):
-        if cfg.shuffle_range <= 128:
+        if cfg.shuffle_range <= 1024:
             return max(1, cfg.shuffle_range), False
     return None, True
 

@@ -114,7 +114,11 @@ def _htm_join_pallas(r: Relation, s: Relation, cfg: JoinConfig) -> JoinMetrics:
     window, presort = pallas_plan(cfg)
     interpret = jax.default_backend() == "cpu"
     t0 = time.perf_counter()
+    # permutation distributions certify both sides unique (S is generated
+    # sorted 1..N) — unlocks the single-shift count formula
     out = banded_join_pipelined(r.keys, s.keys, locality_window=window,
-                                presort=presort, interpret=interpret)
+                                presort=presort,
+                                unique_both=keys_are_unique(cfg),
+                                interpret=interpret)
     elapsed_us = (time.perf_counter() - t0) * 1e6
     return pallas_metrics(cfg, "htm", out, elapsed_us, out.matches)

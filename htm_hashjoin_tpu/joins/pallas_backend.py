@@ -56,16 +56,26 @@ class BandedBuild(NamedTuple):
     resorted: bool        # True if the bitonic retry ran
 
 
+def _sort_method(locality_window: Optional[int], tile: int):
+    """Pick the optimistic sorter by window.  Measured crossovers on v5e at
+    2^27 (odd-even scales linearly in w, shifted-block log²(w), bitonic
+    log²(tile)): odd-even to w=16, shifted-block to w=512, bitonic beyond."""
+    w = locality_window
+    if w is None or w <= 0 or w > min(512, tile // 2):
+        return "bitonic", 0
+    return ("oddeven", w) if w <= 16 else ("blocks", w)
+
+
 def banded_build(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
                  locality_window: Optional[int] = None,
                  interpret: bool = False) -> BandedBuild:
-    """Build phase.  locality_window=w picks the odd-even optimistic sorter
-    (exact for displacement ≤ w); None or large w picks bitonic directly."""
+    """Build phase.  locality_window=w picks an optimistic bounded-
+    displacement sorter (exact for displacement ≤ w); None or large w picks
+    bitonic directly."""
     r2d = to_tiles_2d(rkeys, tile)
     rows_per_tile = tile // LANES
-    use_oddeven = locality_window is not None and 0 < locality_window <= 128
-    method = "oddeven" if use_oddeven else "bitonic"
-    passes = locality_window if use_oddeven else 0
+    method, passes = _sort_method(locality_window, tile)
+    use_oddeven = method != "bitonic"
     sorted2d = sort_tiles(r2d, tile=tile, method=method,
                           passes=max(1, passes), interpret=interpret)
     mins, maxs, viols = tile_stats(sorted2d, rows_per_tile)
@@ -185,7 +195,8 @@ class BandedJoinOutcome(NamedTuple):
 
 def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
                         skeys_sorted: jax.Array, *, tile: int, method: str,
-                        passes: int, max_chunks: int, interpret: bool):
+                        passes: int, max_chunks: int, unique_both: bool,
+                        interpret: bool):
     """The full join as one async device chain: sort → stats → offsets →
     count, with violations/overflow/conservation folded into the outputs.
     Nothing here blocks; the caller fences once."""
@@ -205,7 +216,7 @@ def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
     n_chunks_clipped = jnp.where(overflow, 0, n_chunks).astype(jnp.int32)
     counts = banded_count(sorted2d, s2d, row_off.astype(jnp.int32),
                           n_chunks_clipped, tile=tile, max_chunks=max_chunks,
-                          interpret=interpret)
+                          unique_both=unique_both, interpret=interpret)
     matches = _sum_i64(counts)
     out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
     in_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
@@ -216,7 +227,7 @@ def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
 def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                           tile: int = DEFAULT_TILE,
                           locality_window: Optional[int] = None,
-                          presort: bool = False,
+                          presort: bool = False, unique_both: bool = False,
                           max_chunks: int = 4, interpret: bool = False,
                           s2d: Optional[jax.Array] = None
                           ) -> BandedJoinOutcome:
@@ -234,23 +245,23 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
         method, passes = "presorted", 0
     else:
         r2d = to_tiles_2d(rkeys, tile)
-        use_oddeven = (locality_window is not None
-                       and 0 < locality_window <= 128)
-        method = "oddeven" if use_oddeven else "bitonic"
-        passes = locality_window if use_oddeven else 0
+        method, passes = _sort_method(locality_window, tile)
     if s2d is None:
         s2d = prepare_probe_side(skeys_sorted, tile, max_chunks)
     res = _banded_join_device(r2d, s2d, skeys_sorted, tile=tile,
                               method=method, passes=passes,
-                              max_chunks=max_chunks, interpret=interpret)
+                              max_chunks=max_chunks, unique_both=unique_both,
+                              interpret=interpret)
     matches, viols, overflow, out_sum, in_sum, sorted2d, off, end = res
     bundle = np.asarray(jnp.stack([matches, viols, overflow, out_sum,
                                    in_sum]))
     resorted = False
-    if method == "oddeven" and bundle[1] > 0:   # abort → exact retry
+    if method in ("oddeven", "blocks") and bundle[1] > 0:  # abort → retry
         res = _banded_join_device(r2d, s2d, skeys_sorted, tile=tile,
                                   method="bitonic", passes=0,
-                                  max_chunks=max_chunks, interpret=interpret)
+                                  max_chunks=max_chunks,
+                                  unique_both=unique_both,
+                                  interpret=interpret)
         matches, viols, overflow, out_sum, in_sum, sorted2d, off, end = res
         bundle = np.asarray(jnp.stack([matches, jnp.zeros_like(viols),
                                        overflow, out_sum, in_sum]))

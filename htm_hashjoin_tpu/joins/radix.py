@@ -67,9 +67,12 @@ def radix_join(r: Relation, s: Optional[Relation] = None,
 
         from .pallas_backend import banded_join_pipelined
 
+        from .common import keys_are_unique
+
         interpret = jax.default_backend() == "cpu"
         t0 = time.perf_counter()
         out = banded_join_pipelined(r.keys, s.keys, presort=True,
+                                    unique_both=keys_are_unique(cfg),
                                     interpret=interpret)
         elapsed_us = (time.perf_counter() - t0) * 1e6
         m = pallas_metrics(cfg, "radix", out, elapsed_us, out.matches)

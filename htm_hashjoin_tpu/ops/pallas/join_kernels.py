@@ -106,6 +106,10 @@ def _sort_megakernel(r_hbm, out_hbm, buf, obuf, sem_in, sem_out, *,
         v = buf[:]
         if method == "bitonic":
             v = linops.bitonic_sort_keys(v)
+        elif method == "blocks":
+            # shifted-block sorter: exact for displacement <= passes, far
+            # fewer stages than odd-even at windows >= ~8
+            v = linops.shifted_block_sort_keys(v, passes)
         else:
             v = linops.odd_even_passes_keys(v, passes)
         obuf[:] = v
@@ -177,7 +181,8 @@ def sort_tiles(keys2d, **kwargs):
 
 def _count_megakernel(row_off_smem, n_chunks_smem, r_hbm, s_hbm, out_ref,
                       rbuf, sbuf, sem_r, sem_s, *, n_tiles: int,
-                      rows_per_tile: int, max_chunks: int):
+                      rows_per_tile: int, max_chunks: int,
+                      unique_both: bool = False):
     del max_chunks  # chunk loop bound is dynamic per tile
     out_ref[:] = jnp.zeros((8, LANES), jnp.int32)
     merged_rows = 2 * rows_per_tile
@@ -205,14 +210,23 @@ def _count_megakernel(row_off_smem, n_chunks_smem, r_hbm, s_hbm, out_ref,
             comp_s = jnp.where(sk >= PACK_LIMIT, jnp.int32(MAXI32),
                                sk * 4 + 1)
             merged = linops.merge_two_sorted_keys(comp_r, comp_s)
-            tag = merged & 3
-            rcnt = jnp.where(tag == 0, ones_m, zeros_m)
-            a = linops.cumsum_linear(rcnt)
-            keyv = merged >> 2
-            run_start = keyv != linops.lshift(keyv, -1, jnp.int32(-1))
-            prev_a = linops.cummax_linear(
-                jnp.where(run_start, a - rcnt, neg_m))
-            contrib = jnp.where(tag == 1, a - prev_a, zeros_m)
+            if unique_both:
+                # both sides unique (PK ⋈ permutation — the headline
+                # oracle): an S element (4k+1) matches iff its immediate
+                # predecessor is its R copy (4k) — one shift replaces both
+                # linear scans of the general formula.
+                prev = linops.lshift(merged, -1, jnp.int32(-2))
+                hit = ((merged - prev) == 1) & ((merged & 3) == 1)
+                contrib = jnp.where(hit, ones_m, zeros_m)
+            else:
+                tag = merged & 3
+                rcnt = jnp.where(tag == 0, ones_m, zeros_m)
+                a = linops.cumsum_linear(rcnt)
+                keyv = merged >> 2
+                run_start = keyv != linops.lshift(keyv, -1, jnp.int32(-1))
+                prev_a = linops.cummax_linear(
+                    jnp.where(run_start, a - rcnt, neg_m))
+                contrib = jnp.where(tag == 1, a - prev_a, zeros_m)
             # fold (2*rows, 128) contributions into the (8, 128) accumulator
             # with a mod-8 roll tree — no traced scalars anywhere
             y = contrib
@@ -231,17 +245,20 @@ def _count_megakernel(row_off_smem, n_chunks_smem, r_hbm, s_hbm, out_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile", "max_chunks", "interpret"))
+                   static_argnames=("tile", "max_chunks", "unique_both",
+                                    "interpret"))
 def _banded_count_jit(r_sorted2d: jax.Array, s2d: jax.Array,
                       row_off: jax.Array, n_chunks: jax.Array, *,
                       tile: int = 65536, max_chunks: int = 4,
+                      unique_both: bool = False,
                       interpret: bool = False) -> jax.Array:
     assert max_chunks <= LANES
     rows_per_tile = tile // LANES
     n_tiles = r_sorted2d.shape[0] // rows_per_tile
     kernel = functools.partial(_count_megakernel, n_tiles=n_tiles,
                                rows_per_tile=rows_per_tile,
-                               max_chunks=max_chunks)
+                               max_chunks=max_chunks,
+                               unique_both=unique_both)
     return pl.pallas_call(
         kernel,
         in_specs=[

@@ -254,6 +254,54 @@ def merge_two_sorted_keys(key_a, key_b):
     return bitonic_merge_keys(jnp.concatenate([key_a, lreverse(key_b)], axis=0))
 
 
+def block_bitonic_sort_keys(key, block: int, offset: int = 0):
+    """Sort every aligned `block`-element segment of the linear order
+    (segments start at linear index ≡ offset mod block) ascending.
+
+    Elements before `offset` and in the trailing partial segment are left
+    untouched (they pair with the other pass's segments).  All masks are
+    pure index functions — compile-time constant vector patterns.
+    """
+    rows, lanes = key.shape
+    L = rows * lanes
+    i = linear_iota(key.shape)
+    # all index arithmetic in explicit int32: a python int that reaches a
+    # vector op as int64 (x64 mode) is unlowerable by Mosaic
+    pos = (i - jnp.int32(offset)) % jnp.int32(block)
+    full_end = offset + ((L - offset) // block) * block
+    valid = (i >= jnp.int32(offset)) & (i < jnp.int32(full_end))
+    kk = 2
+    while kk <= block:
+        asc = (((pos & jnp.int32(kk)) == 0) if kk < block
+               else jnp.ones(key.shape, jnp.bool_))
+        s = kk // 2
+        while s >= 1:
+            bit = (pos & jnp.int32(s)) != 0
+            # partner at pos ^ s: +s when bit clear, -s when set
+            pk = jnp.where(bit, lroll(key, L - s), lroll(key, s))
+            keep_asc = (bit & (pk < key)) | (~bit & (key < pk))
+            keep = ~(keep_asc ^ asc) | ~valid   # partials keep their value
+            key = jnp.where(keep, key, pk)
+            s //= 2
+        kk *= 2
+    return key
+
+
+def shifted_block_sort_keys(key, window: int):
+    """Bounded-displacement sorter: two shifted passes of block bitonic
+    sorts with block = 2^ceil(log2(2·window)) — exact whenever every element
+    sits at most `window` positions from its sorted place (the staircase
+    lemma).  Fewer stages than odd-even transposition for window ≥ 16; any
+    corner-case miss is caught by the caller's sortedness check and repaired
+    by the bitonic retry (the abort→retry protocol)."""
+    block = 1
+    while block < 2 * window:
+        block *= 2
+    block = min(block, key.shape[0] * key.shape[1])
+    key = block_bitonic_sort_keys(key, block, 0)
+    return block_bitonic_sort_keys(key, block, block // 2)
+
+
 def odd_even_passes_keys(key, passes: int):
     """Payloadless odd-even transposition: sorts displacement<=passes data.
     One fori iteration applies both parities (parity stays static so every

@@ -186,3 +186,53 @@ def test_pipelined_join_duplicates_general():
     s = sorted_keys(N)
     out = banded_join_pipelined(r, s, tile=2048, interpret=True)
     assert out.matches == reference_match_count(r, s)
+
+
+def test_shifted_block_sort_exact_for_bounded_displacement():
+    """Staircase lemma: two shifted block-bitonic passes sort any
+    displacement<=w sequence."""
+    for w in (2, 5, 8, 16, 63):
+        keys = np.asarray(local_shuffled_keys(4096, w, w), np.int32)
+        out = run_kernel(lambda a, w=w: linops.shifted_block_sort_keys(a, w),
+                         jnp.asarray(keys.reshape(-1, 128)))
+        assert np.array_equal(np.asarray(out).reshape(-1),
+                              np.arange(1, 4097)), w
+
+
+def test_block_bitonic_sorts_segments():
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 1 << 20, size=(8, 128), dtype=np.int32)
+    out = run_kernel(lambda a: linops.block_bitonic_sort_keys(a, 64, 0),
+                     jnp.asarray(x))
+    flat = np.asarray(out).reshape(-1)
+    for s in range(0, 1024, 64):
+        assert np.all(np.diff(flat[s:s + 64]) >= 0)
+    # offset pass leaves the head/tail partials untouched
+    out2 = run_kernel(lambda a: linops.block_bitonic_sort_keys(a, 64, 32),
+                      jnp.asarray(x))
+    assert np.array_equal(np.asarray(out2).reshape(-1)[:32],
+                          x.reshape(-1)[:32])
+
+
+def test_pipelined_blocks_method_and_unique_count():
+    """Window 16 now takes the shifted-block sorter; unique_both count must
+    agree with the general formula."""
+    from htm_hashjoin_tpu.joins.pallas_backend import banded_join_pipelined
+    r = local_shuffled_keys(N, 16, 5)
+    s = sorted_keys(N)
+    general = banded_join_pipelined(r, s, tile=2048, locality_window=16,
+                                    interpret=True)
+    fast = banded_join_pipelined(r, s, tile=2048, locality_window=16,
+                                 unique_both=True, interpret=True)
+    assert general.matches == fast.matches == N
+    assert fast.violations == 0 and not fast.resorted
+
+
+def test_pipelined_large_window_blocks():
+    """Window beyond odd-even reach (129..1024) uses blocks and stays exact."""
+    from htm_hashjoin_tpu.joins.pallas_backend import banded_join_pipelined
+    r = local_shuffled_keys(N, 300, 9)
+    out = banded_join_pipelined(r, sorted_keys(N), tile=2048,
+                                locality_window=300, unique_both=True,
+                                interpret=True)
+    assert out.matches == N and out.violations == 0

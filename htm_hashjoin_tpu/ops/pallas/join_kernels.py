@@ -136,8 +136,8 @@ def _sort_tiles_jit(keys2d: jax.Array, *, tile: int = 65536,
                                passes=passes)
     return pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(keys2d.shape, jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((rows_per_tile, LANES), jnp.int32),
@@ -264,8 +264,8 @@ def _banded_count_jit(r_sorted2d: jax.Array, s2d: jax.Array,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.int32),

@@ -79,3 +79,38 @@ def test_mesh_construction():
     assert mesh.devices.size == 8
     with pytest.raises(ValueError):
         make_mesh((1024,))
+
+
+# ---------------------------------------------------------------------------
+# Device mapping (the cpu-mapping.txt analog, SURVEY.md P12)
+# ---------------------------------------------------------------------------
+
+def test_device_mapping_file_controls_order(tmp_path, monkeypatch):
+    from htm_hashjoin_tpu.parallel.mesh import (MAPPING_ENV,
+                                                load_device_mapping,
+                                                make_mesh)
+    import jax
+    n = len(jax.devices())
+    ids = list(range(n))[::-1]  # reverse placement
+    p = tmp_path / "device-mapping.txt"
+    p.write_text(f"{n} " + " ".join(map(str, ids)) + "\n")
+    monkeypatch.setenv(MAPPING_ENV, str(p))
+    assert load_device_mapping() == ids
+    mesh = make_mesh((n,))
+    assert [d.id for d in mesh.devices.flat] == ids
+
+
+def test_device_mapping_malformed_rejected(tmp_path):
+    from htm_hashjoin_tpu.parallel.mesh import load_device_mapping
+    p = tmp_path / "bad.txt"
+    p.write_text("5 0 1\n")  # claims 5 ids, provides 2
+    with pytest.raises(ValueError):
+        load_device_mapping(str(p))
+
+
+def test_no_mapping_default_order(monkeypatch):
+    from htm_hashjoin_tpu.parallel.mesh import MAPPING_ENV, make_mesh
+    import jax
+    monkeypatch.delenv(MAPPING_ENV, raising=False)
+    mesh = make_mesh()
+    assert [d.id for d in mesh.devices.flat] == [d.id for d in jax.devices()]

@@ -29,7 +29,8 @@ def partitioned_sort(keys: jax.Array, num_partitions: int = 64) -> jax.Array:
 
 def merge_count(sorted_build: jax.Array, sorted_probe: jax.Array) -> jax.Array:
     """Count equi-join matches of two ascending arrays
-    (SortMerge.cpp:22-36 semantics, duplicates multiply)."""
+    (SortMerge.cpp:22-36 semantics, duplicates multiply).  One fused
+    tagged sort + scans (see probe.probe_sorted)."""
     return probe_sorted(sorted_build, sorted_probe)
 
 

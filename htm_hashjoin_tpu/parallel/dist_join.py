@@ -114,9 +114,8 @@ def _is_member(keys, sorted_set):
 
 
 def _count_sorted(sorted_build, probe_keys):
-    hi = jnp.searchsorted(sorted_build, probe_keys, side="right", method="sort")
-    lo = jnp.searchsorted(sorted_build, probe_keys, side="left", method="sort")
-    return jnp.sum((hi - lo).astype(jnp.int64))
+    from ..ops.probe import probe_sorted  # one fused tagged sort + scans
+    return probe_sorted(sorted_build, probe_keys)
 
 
 class DistResult(NamedTuple):
@@ -163,8 +162,7 @@ def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling, axis="x"):
     r_recv = lax.all_to_all(rbuf, axis, split_axis=0, concat_axis=0).reshape(-1)
     s_recv = lax.all_to_all(sbuf, axis, split_axis=0, concat_axis=0).reshape(-1)
 
-    sorted_r = jnp.sort(r_recv)
-    local_matches = _count_sorted(sorted_r, s_recv)
+    local_matches = _count_sorted(r_recv, s_recv)  # needs no pre-sort
 
     recv_sum = jnp.sum(jnp.where(r_recv != R_PAD, r_recv, 0).astype(jnp.int64))
     return DistResult(

@@ -47,6 +47,26 @@ def _probe(table: jax.Array, skeys: jax.Array):
 
 def npo_join(r: Relation, s: Optional[Relation] = None,
              cfg: JoinConfig = JoinConfig()) -> JoinMetrics:
+    from .common import pallas_metrics, pallas_plan, use_pallas_engine
+    if use_pallas_engine(cfg, s):
+        # the shared chained-bucket table re-expressed as the banded engine:
+        # bucket chains = sorted runs, the latch-free chain walk = banded
+        # merge-count (same matches/conservation contract)
+        import time
+
+        from .pallas_backend import banded_join_pipelined
+
+        window, presort = pallas_plan(cfg)
+        interpret = jax.default_backend() == "cpu"
+        t0 = time.perf_counter()
+        out = banded_join_pipelined(r.keys, s.keys, locality_window=window,
+                                    presort=presort,
+                                    unique_both=keys_are_unique(cfg),
+                                    interpret=interpret)
+        elapsed_us = (time.perf_counter() - t0) * 1e6
+        m = pallas_metrics(cfg, "npo", out, elapsed_us, out.matches)
+        m.totalOverflows = out.overflow_tiles
+        return m
     rkeys, skeys = resolve_relations(r, s, cfg)
     timer = PhaseTimer()
     num_buckets = next_pow2(max(2, cfg.r_size // BUCKET_SIZE))

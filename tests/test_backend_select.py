@@ -100,3 +100,15 @@ def test_forced_pallas_matches_xla_sortmerge():
     mp = sortmerge_join(r, s, cfg_p)
     assert mp.extra["backend"] == "pallas_banded"
     assert mp.totalMatches == mx.totalMatches == N
+
+
+def test_forced_pallas_matches_xla_npo():
+    from htm_hashjoin_tpu.joins import npo_join
+    cfg_x = _cfg(algo=Algo.NPO, backend="xla")
+    cfg_p = _cfg(algo=Algo.NPO, backend="pallas")
+    r, s = build_relations(cfg_x)
+    mx = npo_join(r, s, cfg_x)
+    mp = npo_join(r, s, cfg_p)
+    assert mp.extra["backend"] == "pallas_banded"
+    assert mp.totalMatches == mx.totalMatches == N
+    assert mp.inputSum == mp.outputSum

@@ -90,13 +90,38 @@ def _expand_matches(lo: jax.Array, hi: jax.Array, cap: int):
 
 @jax.jit
 def _match_bounds(sorted_keys: jax.Array, probe_keys: jax.Array):
-    """Binary-search match ranges of each probe key in the key-sorted build
-    side — the bucket-chain walk analog (storage.cpp realprobeCursor;
-    hashtable.h iterator)."""
-    pk = probe_keys.astype(sorted_keys.dtype)
-    lo = jnp.searchsorted(sorted_keys, pk, side="left", method="sort")
-    hi = jnp.searchsorted(sorted_keys, pk, side="right", method="sort")
-    return lo, hi, jnp.sum((hi - lo).astype(jnp.int64))
+    """Match ranges [lo, hi) of each probe key in the key-sorted build side
+    — the bucket-chain walk analog (storage.cpp realprobeCursor;
+    hashtable.h iterator).
+
+    One fused sort of a tagged (key·2+side, row) pair stream: at a probe
+    element's sorted position, the running build-element count equals
+    hi(key) and the count at its key-run start equals lo(key); scattering
+    those through the carried row indices yields per-row bounds — 4x less
+    sort work than two searchsorted(method='sort') calls."""
+    n_b, n_p = sorted_keys.shape[0], probe_keys.shape[0]
+    comp = jnp.concatenate([
+        sorted_keys.astype(jnp.int64) * 2,
+        probe_keys.astype(sorted_keys.dtype).astype(jnp.int64) * 2 + 1,
+    ])
+    rows = jnp.concatenate([jnp.zeros((n_b,), jnp.int32),
+                            jnp.arange(n_p, dtype=jnp.int32)])
+    comp_s, rows_s = jax.lax.sort_key_val(comp, rows)
+    tag = (comp_s & 1).astype(jnp.int32)
+    bcnt = 1 - tag
+    a = jax.lax.cumsum(bcnt)                       # hi at probe positions
+    key = comp_s >> 1
+    run_start = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 key[1:] != key[:-1]])
+    prev_a = jax.lax.cummax(jnp.where(run_start, a - bcnt, -1))  # lo
+    is_probe = tag == 1
+    tgt = jnp.where(is_probe, rows_s, n_p)
+    lo = jnp.zeros((n_p,), jnp.int32).at[tgt].set(
+        prev_a.astype(jnp.int32), mode="drop")
+    hi = jnp.zeros((n_p,), jnp.int32).at[tgt].set(
+        a.astype(jnp.int32), mode="drop")
+    total = jnp.sum(jnp.where(is_probe, a - prev_a, 0).astype(jnp.int64))
+    return lo, hi, total
 
 
 # ---------------------------------------------------------------------------
@@ -372,9 +397,8 @@ class FlatMemoryJoiner(BaseJoiner):
         pbuckets = self.partitioner.hashfn.hash(
             table.key_column(self.ja2)).astype(jnp.int64)
         pcomp = (pbuckets << 32) | (pkeys & 0xFFFFFFFF)
-        lo = jnp.searchsorted(self._flat_comp, pcomp, side="left", method="sort")
-        hi = jnp.searchsorted(self._flat_comp, pcomp, side="right", method="sort")
-        total = int(jnp.sum((hi - lo).astype(jnp.int64)))
+        lo, hi, total = _match_bounds(self._flat_comp, pcomp)
+        total = int(total)
         self.stats.probe_rows = table.num_rows
         payload_cols = [jnp.asarray(self._build_table.column(c))[self._order]
                         for c in self.sel1]

@@ -24,6 +24,7 @@ class Algo(str, enum.Enum):
     SORTMERGE = "sortmerge"  # partitioned sort + merge  (SortMerge.hpp:5)
     RADIX = "radix"        # parallel radix join / PRO   (mc/src/parallel_radix_join.c:1305)
     NPO = "npo"            # no-partitioning chained-bucket join (mc/src/no_partitioning_join.c:536)
+    NPO_ST = "npo_st"      # single-threaded NPO variant (mc/src/no_partitioning_join.c:336-373)
     ADAPTIVE = "adaptive"  # locality-sniffing planner   (HTMHashBuild.hpp:100-154 + config.h HTM_SWITCH)
 
 

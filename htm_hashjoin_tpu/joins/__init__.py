@@ -3,7 +3,7 @@ from .atomic import atomic_join
 from .htm import htm_join
 from .radix import radix_join
 from .sortmerge import sortmerge_join
-from .npo import npo_join
+from .npo import npo_join, npo_st_join
 from .adaptive import adaptive_join
 
 DISPATCH = {
@@ -13,8 +13,10 @@ DISPATCH = {
     "radix": radix_join,
     "sortmerge": sortmerge_join,
     "npo": npo_join,
+    "npo_st": npo_st_join,
     "adaptive": adaptive_join,
 }
 
 __all__ = ["nocc_join", "atomic_join", "htm_join", "radix_join",
-           "sortmerge_join", "npo_join", "adaptive_join", "DISPATCH"]
+           "sortmerge_join", "npo_join", "npo_st_join", "adaptive_join",
+           "DISPATCH"]

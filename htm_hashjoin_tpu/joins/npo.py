@@ -15,6 +15,7 @@ the three host-dispatched XLA phases.  Software prefetching (PREFETCH_NPJ,
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -43,6 +44,19 @@ def _build(keys: jax.Array, num_buckets: int, unique: bool):
 @jax.jit
 def _probe(table: jax.Array, skeys: jax.Array):
     return probe.probe_buckets(table, skeys, BUCKET_SIZE, identity_hash)
+
+
+def npo_st_join(r: Relation, s: Optional[Relation] = None,
+                cfg: JoinConfig = JoinConfig()) -> JoinMetrics:
+    """NPO_st — the reference's single-threaded NPO (mc/src/
+    no_partitioning_join.c:336-373): identical table layout and probe, no
+    SPMD phases.  The TPU analog is the same build/probe issued as plain
+    single-program XLA (no banded-engine pipelining, no mesh), i.e. the
+    semantic baseline the multi-pipeline paths are checked against."""
+    st_cfg = dataclasses.replace(cfg, backend="xla", mesh_shape=())
+    m = npo_join(r, s, st_cfg)
+    m.algo = "npo_st"
+    return m
 
 
 def npo_join(r: Relation, s: Optional[Relation] = None,

@@ -33,9 +33,14 @@ from .partitioner import (NoPartitioner, ParallelPartitioner,
 from .joiners import (HashJoiner, NestedLoops, FlatMemoryJoiner,
                       joiner_factory)
 from .conf import parse_conf, parse_conf_string
+from .confgen import generate_conf_grid, render_conf
+from .datagen import build_rows, probe_rows
+from .datagen import generate as generate_tbl_files
 from .driver import run_multijoin
 
 __all__ = [
+    "generate_conf_grid", "render_conf",
+    "build_rows", "probe_rows", "generate_tbl_files",
     "ColumnType", "Schema", "Table", "WriteTable",
     "HashFunction", "RangePartitionHash", "ModuloHash", "MagicHash",
     "hash_factory",

@@ -11,7 +11,8 @@ from htm_hashjoin_tpu.joins import DISPATCH
 from htm_hashjoin_tpu.relation import Relation
 from htm_hashjoin_tpu.utils.validate import reference_match_count
 
-ALGOS = ["nocc", "atomic", "htm", "radix", "sortmerge", "npo", "adaptive"]
+ALGOS = ["nocc", "atomic", "htm", "radix", "sortmerge", "npo", "npo_st",
+         "adaptive"]
 EXACT_ALGOS = [a for a in ALGOS if a != "nocc"]  # nocc is lossy by design
 DISTS = [Distribution.SORTED, Distribution.SHUFFLE, Distribution.LOCAL_SHUFFLE]
 N = 1 << 13

@@ -58,7 +58,8 @@ def test_conf_parser_subset():
 
 
 @pytest.mark.parametrize("name", ["no_partition.conf", "radix1.conf",
-                                  "steal.conf", "flatmem.conf"])
+                                  "steal.conf", "flatmem.conf",
+                                  "independent.conf", "parallel.conf"])
 def test_shipped_confs_parse(name):
     c = parse_conf(os.path.join(CONF_DIR, name))
     assert c["build"]["schema"] == ["long", "long"]
@@ -450,6 +451,60 @@ def test_run_multijoin_from_file_with_output(tmp_path):
     assert out.exists()
     first = out.read_text().splitlines()[0].split("|")
     assert len(first) == 2
+
+
+# ---------------------------------------------------------------------------
+# confgen (conf/gen m4 templates) + datagen (genbuild/genprobe)
+# ---------------------------------------------------------------------------
+
+def test_confgen_renders_gen_sh_parameters():
+    """render_conf derives skipbits/pagesize exactly like conf/gen/gen.sh."""
+    from htm_hashjoin_tpu.wisconsin import parse_conf_string, render_conf
+    c = parse_conf_string(render_conf("parallel", 11, threads=12))
+    assert c["partitioner"]["hash"]["buckets"] == 2048
+    assert c["partitioner"]["hash"]["skipbits"] == 24 - 11 - 1
+    assert c["partitioner"]["build"]["pagesize"] == 1 << (24 - 11 + 4)
+    assert c["threads"] == 12
+    c2 = parse_conf_string(render_conf("radix", 6, passes=2, steal=True))
+    assert c2["partitioner"]["probe"]["passes"] == 2
+    # steal = shared build (template.radixsteal.m4)
+    assert c2["partitioner"]["build"]["algorithm"] == "no"
+    assert c2["algorithm"]["partitionbuild"] == "no"
+    assert c2["algorithm"]["steal"] == "yes"
+
+
+def test_confgen_grid_files_run(tmp_path):
+    """The generated grid follows the <buckets:06d>_<algo>.conf naming and
+    every file parses and runs end to end (small sizes)."""
+    from htm_hashjoin_tpu.wisconsin import generate_conf_grid
+    paths = generate_conf_grid(str(tmp_path), threads=[4], exponents=[3],
+                               passes=[1], log2_alphabet=12,
+                               build_size=512, probe_size=2048)
+    names = sorted(os.path.basename(p) for p in paths)
+    assert names == ["000008_independent.conf", "000008_parallel.conf",
+                     "000008_radix1.conf", "000008_radix1steal.conf"]
+    for p in paths:
+        res = run_multijoin(p, base_path=str(tmp_path))
+        assert res.output_rows == 2048    # PK⋈FK exact on every lattice point
+
+
+def test_datagen_canonical_tbl_files(tmp_path):
+    """genbuild/genprobe semantics: build is i|i, probe is `copies` shuffled
+    permutations, and the join cardinality equals the probe size."""
+    from htm_hashjoin_tpu.wisconsin import build_rows, generate_tbl_files, probe_rows
+    b = build_rows(64)
+    assert np.array_equal(b[:, 0], b[:, 1])
+    assert np.array_equal(b[:, 0], np.arange(1, 65))
+    p = probe_rows(64, copies=4, seed=1)
+    assert np.array_equal(p[:, 0], np.arange(1, 257))
+    for c in range(4):
+        assert sorted(p[c * 64:(c + 1) * 64, 1]) == list(range(1, 65))
+    generate_tbl_files(str(tmp_path), max_key=1024 * 1024, copies=2)
+    assert (tmp_path / "001M_build.tbl").exists()
+    assert (tmp_path / "002M_probe.tbl").exists()
+    first = (tmp_path / "001M_build.tbl").read_text(
+    ).splitlines()[0].split("|")
+    assert first == ["1", "1"]
 
 
 def test_multijoin_zipf_skew_conf(tmp_path):

@@ -97,13 +97,34 @@ def call_with_big_stack(fn, *args, **kwargs):
 def _sort_megakernel(r_hbm, out_hbm, buf, obuf, sem_in, sem_out, *,
                      n_tiles: int, rows_per_tile: int, method: str,
                      passes: int):
+    """Double-buffered streaming sort: tile t+1's load and tile t-1's
+    writeback ride the DMA engines while tile t sorts in VMEM — the loop is
+    bound by max(DMA, sort) instead of their sum (serialized DMA latency
+    dominated the single-buffer version: ~2048 round trips per relation)."""
+    two = jnp.int32(2)
+
+    def in_dma(slot, t):
+        return pltpu.make_async_copy(
+            r_hbm.at[pl.ds(t * rows_per_tile, rows_per_tile), :],
+            buf.at[slot], sem_in.at[slot])
+
+    def out_dma(slot, t):
+        return pltpu.make_async_copy(
+            obuf.at[slot], out_hbm.at[pl.ds(t * rows_per_tile,
+                                            rows_per_tile), :],
+            sem_out.at[slot])
+
+    in_dma(jnp.int32(0), jnp.int32(0)).start()
+
     def body(t, carry):
-        row0 = t * rows_per_tile
-        dma_in = pltpu.make_async_copy(
-            r_hbm.at[pl.ds(row0, rows_per_tile), :], buf, sem_in)
-        dma_in.start()
-        dma_in.wait()
-        v = buf[:]
+        slot = jax.lax.rem(t, two)
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            in_dma(jax.lax.rem(t + 1, two), t + 1).start()
+
+        in_dma(slot, t).wait()
+        v = buf[slot]
         if method == "bitonic":
             v = linops.bitonic_sort_keys(v)
         elif method == "blocks":
@@ -112,14 +133,21 @@ def _sort_megakernel(r_hbm, out_hbm, buf, obuf, sem_in, sem_out, *,
             v = linops.shifted_block_sort_keys(v, passes)
         else:
             v = linops.odd_even_passes_keys(v, passes)
-        obuf[:] = v
-        dma_out = pltpu.make_async_copy(
-            obuf, out_hbm.at[pl.ds(row0, rows_per_tile), :], sem_out)
-        dma_out.start()
-        dma_out.wait()
+
+        @pl.when(t >= 2)            # this obuf slot's previous writeback
+        def _():
+            out_dma(slot, t - 2).wait()
+
+        obuf[slot] = v
+        out_dma(slot, t).start()
         return carry
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_tiles), body, jnp.int32(0))
+    # drain the last (up to) two in-flight writebacks
+    last = jnp.int32(n_tiles - 1)
+    out_dma(jax.lax.rem(last, two), last).wait()
+    if n_tiles >= 2:
+        out_dma(jax.lax.rem(last - 1, two), last - 1).wait()
 
 
 @functools.partial(jax.jit,
@@ -140,10 +168,10 @@ def _sort_tiles_jit(keys2d: jax.Array, *, tile: int = 65536,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(keys2d.shape, jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((rows_per_tile, LANES), jnp.int32),
-            pltpu.VMEM((rows_per_tile, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -180,33 +208,80 @@ def sort_tiles(keys2d, **kwargs):
 # ---------------------------------------------------------------------------
 
 def _count_megakernel(row_off_smem, n_chunks_smem, r_hbm, s_hbm, out_ref,
-                      rbuf, sbuf, sem_r, sem_s, *, n_tiles: int,
-                      rows_per_tile: int, max_chunks: int,
+                      rbuf, sbuf0, sbufn, sem_r, sem_s0, sem_sn, *,
+                      n_tiles: int, rows_per_tile: int, max_chunks: int,
                       unique_both: bool = False):
+    """Double-buffered banded count: the loop is bound by max(DMA, merge)
+    instead of their sum (serialized per-tile DMA latency dominated the
+    single-buffer version).  Three independent pipelines:
+
+      rbuf[2]   R tiles, slot = tile parity, prefetched one tile ahead;
+      sbuf0[2]  chunk 0 of each tile, slot = tile parity, prefetched
+                UNCONDITIONALLY one tile ahead (row_off is a valid row even
+                for chunkless tiles, and every body waits the DMA, so the
+                semaphore stays balanced — no deadlock for any n_chunks
+                pattern, including long overflow runs);
+      sbufn[2]  chunks >= 1, slot = chunk parity, prefetched one chunk ahead
+                within the tile.
+    """
     del max_chunks  # chunk loop bound is dynamic per tile
     out_ref[:] = jnp.zeros((8, LANES), jnp.int32)
     merged_rows = 2 * rows_per_tile
+    two = jnp.int32(2)
     # hoisted vector constants: Mosaic recurses on scalar where-branches and
     # bool→int astype inside kernel loops — keep every select vector/vector
     ones_m = jnp.ones((merged_rows, LANES), jnp.int32)
     zeros_m = jnp.zeros((merged_rows, LANES), jnp.int32)
     neg_m = -ones_m
 
+    def r_dma(slot, t):
+        return pltpu.make_async_copy(
+            r_hbm.at[pl.ds(t * rows_per_tile, rows_per_tile), :],
+            rbuf.at[slot], sem_r.at[slot])
+
+    def s0_dma(slot, t):
+        return pltpu.make_async_copy(
+            s_hbm.at[pl.ds(row_off_smem[t], rows_per_tile), :],
+            sbuf0.at[slot], sem_s0.at[slot])
+
+    def sn_dma(slot, t, c):
+        return pltpu.make_async_copy(
+            s_hbm.at[pl.ds(row_off_smem[t] + c * rows_per_tile,
+                           rows_per_tile), :],
+            sbufn.at[slot], sem_sn.at[slot])
+
+    r_dma(jnp.int32(0), jnp.int32(0)).start()
+    s0_dma(jnp.int32(0), jnp.int32(0)).start()
+
     def body(t, carry):
-        dma_r = pltpu.make_async_copy(
-            r_hbm.at[pl.ds(t * rows_per_tile, rows_per_tile), :], rbuf, sem_r)
-        dma_r.start()
-        dma_r.wait()
-        rk = rbuf[:]
+        tslot = jax.lax.rem(t, two)
+        nslot = jax.lax.rem(t + 1, two)
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            r_dma(nslot, t + 1).start()
+            s0_dma(nslot, t + 1).start()
+
+        r_dma(tslot, t).wait()
+        s0_dma(tslot, t).wait()   # unconditional: keeps sem_s0 balanced
+        rk = rbuf[tslot]
         comp_r = jnp.where(rk >= PACK_LIMIT, jnp.int32(MAXI32), rk * 4)
 
         def chunk_body(c, carry2):
-            dma_s = pltpu.make_async_copy(
-                s_hbm.at[pl.ds(row_off_smem[t] + c * rows_per_tile,
-                               rows_per_tile), :], sbuf, sem_s)
-            dma_s.start()
-            dma_s.wait()
-            sk = sbuf[:]
+            cslot = jax.lax.rem(c, two)
+
+            @pl.when(c + 1 < n_chunks_smem[t])
+            def _():
+                sn_dma(jax.lax.rem(c + 1, two), t, c + 1).start()
+
+            @pl.when(c >= 1)
+            def _():
+                sn_dma(cslot, t, c).wait()
+
+            # chunk 0 lives in the tile-parity pool, later chunks in the
+            # chunk-parity pool; a vector select keeps one merge instance
+            is0 = jnp.broadcast_to(c == 0, (rows_per_tile, LANES))
+            sk = jnp.where(is0, sbuf0[tslot], sbufn[cslot])
             comp_s = jnp.where(sk >= PACK_LIMIT, jnp.int32(MAXI32),
                                sk * 4 + 1)
             merged = linops.merge_two_sorted_keys(comp_r, comp_s)
@@ -270,10 +345,12 @@ def _banded_count_jit(r_sorted2d: jax.Array, s2d: jax.Array,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((rows_per_tile, LANES), jnp.int32),
-            pltpu.VMEM((rows_per_tile, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,

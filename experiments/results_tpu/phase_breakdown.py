@@ -63,13 +63,15 @@ def timeit(label, fn):
     return out
 
 
-sorted2d = timeit("sort blocks(w=16)", lambda: sort_tiles(
+sorted2d, stats = timeit("sort+stats blocks(w=16)", lambda: sort_tiles(
     r2d, tile=TILE, method="blocks", passes=WINDOW))
-timeit("sort oddeven(w=16)", lambda: sort_tiles(
+timeit("sort+stats oddeven(w=16)", lambda: sort_tiles(
     r2d, tile=TILE, method="oddeven", passes=WINDOW))
-timeit("sort bitonic", lambda: sort_tiles(r2d, tile=TILE, method="bitonic"))
-mins, maxs, viols = timeit("tile_stats", lambda: tile_stats(
+timeit("sort+stats bitonic", lambda: sort_tiles(r2d, tile=TILE,
+                                                method="bitonic"))
+mins, maxs, viols = timeit("tile_stats (XLA)", lambda: tile_stats(
     sorted2d, rows_per_tile))
+mins, maxs = stats[:, 0], stats[:, 1]
 off, end = timeit("slice_offsets", lambda: _slice_offsets(skeys, mins, maxs))
 row_off = (off // LANES).astype(jnp.int32)
 n_chunks = jnp.minimum(

@@ -73,23 +73,20 @@ def banded_build(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
     displacement sorter (exact for displacement ≤ w); None or large w picks
     bitonic directly."""
     r2d = to_tiles_2d(rkeys, tile)
-    rows_per_tile = tile // LANES
     method, passes = _sort_method(locality_window, tile)
     use_oddeven = method != "bitonic"
-    sorted2d = sort_tiles(r2d, tile=tile, method=method,
-                          passes=max(1, passes), interpret=interpret)
-    mins, maxs, viols = tile_stats(sorted2d, rows_per_tile)
+    sorted2d, stats = sort_tiles(r2d, tile=tile, method=method,
+                                 passes=max(1, passes), interpret=interpret)
     violations = 0
     resorted = False
     if use_oddeven:
-        violations = int(jnp.sum(viols))
+        violations = int(jnp.sum(stats[:, 2], dtype=jnp.int64))
         if violations:  # abort → retry with the exact sorter
-            sorted2d = sort_tiles(r2d, tile=tile, method="bitonic",
-                                  interpret=interpret)
-            mins, maxs, viols = tile_stats(sorted2d, rows_per_tile)
+            sorted2d, stats = sort_tiles(r2d, tile=tile, method="bitonic",
+                                         interpret=interpret)
             resorted = True
-    return BandedBuild(sorted2d, mins, maxs, tile, int(rkeys.shape[0]),
-                       violations, resorted)
+    return BandedBuild(sorted2d, stats[:, 0], stats[:, 1], tile,
+                       int(rkeys.shape[0]), violations, resorted)
 
 
 def banded_build_from_sorted(sorted_keys: jax.Array, *,
@@ -203,10 +200,13 @@ def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
     rows_per_tile = tile // LANES
     if method == "presorted":     # globally sorted input is tile-sorted
         sorted2d = r2d
+        mins, maxs, viols = tile_stats(sorted2d, rows_per_tile)
     else:
-        sorted2d = sort_tiles(r2d, tile=tile, method=method,
-                              passes=max(1, passes), interpret=interpret)
-    mins, maxs, viols = tile_stats(sorted2d, rows_per_tile)
+        sorted2d, stats = sort_tiles(r2d, tile=tile, method=method,
+                                     passes=max(1, passes),
+                                     interpret=interpret)
+        mins, maxs = stats[:, 0], stats[:, 1]
+        viols = stats[:, 2].astype(jnp.int64)
     off, end = _slice_offsets(skeys_sorted, mins, maxs)
     row_off = off // LANES
     end_row = (end + LANES - 1) // LANES

@@ -94,14 +94,49 @@ def call_with_big_stack(fn, *args, **kwargs):
 # Kernel A: streaming tile sort
 # ---------------------------------------------------------------------------
 
-def _sort_megakernel(r_hbm, out_hbm, buf, obuf, sem_in, sem_out, *,
+def _sort_megakernel(r_hbm, out_hbm, stats_ref, buf, obuf, sem_in, sem_out, *,
                      n_tiles: int, rows_per_tile: int, method: str,
                      passes: int):
     """Double-buffered streaming sort: tile t+1's load and tile t-1's
     writeback ride the DMA engines while tile t sorts in VMEM — the loop is
     bound by max(DMA, sort) instead of their sum (serialized DMA latency
-    dominated the single-buffer version: ~2048 round trips per relation)."""
+    dominated the single-buffer version: ~2048 round trips per relation).
+
+    While each sorted tile is still in VMEM, its stats row is written to
+    stats_ref[t]: lane 0 = min key, lane 1 = max key (padding excluded),
+    lane 2 = sortedness violations.  This replaces a full XLA re-read of the
+    sorted relation (the old tile_stats pass).  The exact sorter skips the
+    violation count — its output is sorted by construction."""
     two = jnp.int32(2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows_per_tile, LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows_per_tile, LANES), 0)
+    is_last = (row == rows_per_tile - 1) & (lane == LANES - 1)
+    last_lane = lane == LANES - 1
+    srow = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    def tile_stats_row(v):
+        mn = jnp.min(v)
+        mx = jnp.max(jnp.where(v == MAXI32, jnp.int32(-(1 << 31)), v))
+        if method == "bitonic":
+            cnt = jnp.int32(0)
+        else:
+            nxt = pltpu.roll(v, jnp.int32(LANES - 1), axis=1)  # v[i+1]
+            nxt = jnp.where(
+                last_lane, pltpu.roll(nxt, jnp.int32(rows_per_tile - 1),
+                                      axis=0), nxt)
+            bad = (v > nxt) & ~is_last
+            # count as int32 (jnp.sum upcasts via int64 under x64 and
+            # lax.reduce has no Mosaic lowering): roll-fold rows mod 8,
+            # then the cheap small-array total
+            y = jnp.where(bad, jnp.int32(1), jnp.int32(0))
+            step = 8
+            while step < rows_per_tile:
+                y = y + pltpu.roll(y, jnp.int32(step), axis=0)
+                step *= 2
+            cnt = linops.sum_all(y[:8, :])
+        return jnp.where(srow == 0, mn,
+                         jnp.where(srow == 1, mx,
+                                   jnp.where(srow == 2, cnt, jnp.int32(0))))
 
     def in_dma(slot, t):
         return pltpu.make_async_copy(
@@ -133,6 +168,7 @@ def _sort_megakernel(r_hbm, out_hbm, buf, obuf, sem_in, sem_out, *,
             v = linops.shifted_block_sort_keys(v, passes)
         else:
             v = linops.odd_even_passes_keys(v, passes)
+        stats_ref[pl.ds(t, 1), :] = tile_stats_row(v)
 
         @pl.when(t >= 2)            # this obuf slot's previous writeback
         def _():
@@ -165,8 +201,10 @@ def _sort_tiles_jit(keys2d: jax.Array, *, tile: int = 65536,
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct(keys2d.shape, jnp.int32),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct(keys2d.shape, jnp.int32),
+                   jax.ShapeDtypeStruct((n_tiles, LANES), jnp.int32)),
         scratch_shapes=[
             pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
             pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
@@ -199,8 +237,182 @@ def tile_stats(sorted2d: jax.Array, rows_per_tile: int):
 def sort_tiles(keys2d, **kwargs):
     """Sort each T-element tile of keys2d ((rows,128) int32, MAXI32-padded,
     rows divisible by tile/128).  method='oddeven' runs `passes` odd-even
-    rounds — exact for displacement ≤ passes (the locality regime)."""
+    rounds — exact for displacement ≤ passes (the locality regime).
+
+    Returns (sorted2d, stats) where stats is (n_tiles, 128) int32 with
+    lane 0 = per-tile min, lane 1 = max (padding excluded), lane 2 =
+    sortedness violations (always 0 for the exact bitonic method)."""
     return call_with_big_stack(_sort_tiles_jit, keys2d, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Kernel B-narrow: single-merge banded count for narrow bands
+# ---------------------------------------------------------------------------
+#
+# The general kernel below (B) pays one full 2T-wide bitonic merge PER CHUNK,
+# and a tile's S band virtually always straddles a chunk boundary (band width
+# ≈ tile + row-alignment slack + locality window ⇒ n_chunks == 2): every tile
+# costs TWO full merges.  For the narrow-band plans (locality-sorted build,
+# unique keys, presorted build) the overhang past the first chunk is tiny —
+# ≤ OV_ROWS rows — so this kernel does ONE full merge against the first
+# T-element S window plus one 2·OV_ROWS-row mini-merge against the overhang:
+# ~half the VPU work of the general kernel.
+#
+# Exactness is preserved by the optimistic/abort protocol: the mini-merge is
+# exact iff (a) the band fits in the loaded window (rows_needed <= rpt + OV)
+# and (b) every R key that can match the overhang lives in the tile's last
+# OV rows (max(R[: -OV]) < first overhang key).  Tiles failing either check
+# contribute nothing and raise a per-tile flag; the host recounts just those
+# tiles (the conflict-spill path, same as band overflow in the general plan).
+
+OV_ROWS = 8   # overhang window: covers row-alignment slack (≤127 elements)
+              # plus locality windows up to ~896
+
+
+def _count_narrow_megakernel(row_off_smem, rows_needed_smem, r_hbm, s_hbm,
+                             out_ref, flags_ref, rbuf, sbuf, acc,
+                             sem_r, sem_s, *, n_tiles: int,
+                             rows_per_tile: int, unique_both: bool = False):
+    """Double-buffered narrow-band count: one (rpt+OV)-row S DMA per tile,
+    one full merge + one mini-merge, per-tile repair flags."""
+    merged_rows = 2 * rows_per_tile
+    rpt = rows_per_tile
+    two = jnp.int32(2)
+    acc[:] = jnp.zeros((merged_rows, LANES), jnp.int32)
+    ones_m = jnp.ones((merged_rows, LANES), jnp.int32)
+    zeros_m = jnp.zeros((merged_rows, LANES), jnp.int32)
+    neg_m = -ones_m
+    ones_s = jnp.ones((2 * OV_ROWS, LANES), jnp.int32)
+    zeros_s = jnp.zeros((2 * OV_ROWS, LANES), jnp.int32)
+    neg_s = -ones_s
+    srow = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    def r_dma(slot, t):
+        return pltpu.make_async_copy(
+            r_hbm.at[pl.ds(t * rpt, rpt), :], rbuf.at[slot], sem_r.at[slot])
+
+    def s_dma(slot, t):
+        return pltpu.make_async_copy(
+            s_hbm.at[pl.ds(row_off_smem[t], rpt + OV_ROWS), :],
+            sbuf.at[slot], sem_s.at[slot])
+
+    def contributions(merged, ones, zeros, neg):
+        if unique_both:
+            prev = linops.lshift(merged, -1, jnp.int32(-2))
+            hit = ((merged - prev) == 1) & ((merged & 3) == 1)
+            return jnp.where(hit, ones, zeros)
+        tag = merged & 3
+        rcnt = jnp.where(tag == 0, ones, zeros)
+        a = linops.cumsum_linear(rcnt)
+        keyv = merged >> 2
+        run_start = keyv != linops.lshift(keyv, -1, jnp.int32(-1))
+        prev_a = linops.cummax_linear(jnp.where(run_start, a - rcnt, neg))
+        return jnp.where(tag == 1, a - prev_a, zeros)
+
+    r_dma(jnp.int32(0), jnp.int32(0)).start()
+    s_dma(jnp.int32(0), jnp.int32(0)).start()
+
+    def body(t, carry):
+        tslot = jax.lax.rem(t, two)
+        nslot = jax.lax.rem(t + 1, two)
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            r_dma(nslot, t + 1).start()
+            s_dma(nslot, t + 1).start()
+
+        r_dma(tslot, t).wait()
+        s_dma(tslot, t).wait()
+        rk = rbuf[tslot]
+        s_all = sbuf[tslot]
+        comp_r = jnp.where(rk >= PACK_LIMIT, jnp.int32(MAXI32), rk * 4)
+        rev_r = linops.lreverse(comp_r)
+
+        sk0 = s_all[:rpt]
+        comp_s0 = jnp.where(sk0 >= PACK_LIMIT, jnp.int32(MAXI32),
+                            sk0 * 4 + 1)
+        merged = linops.bitonic_merge_keys(
+            jnp.concatenate([comp_s0, rev_r], axis=0))
+        contrib0 = contributions(merged, ones_m, zeros_m, neg_m)
+
+        # overhang mini-merge: S rows [rpt, rpt+OV) vs the tile's last OV rows
+        skm = s_all[rpt:]
+        ovh_min = jnp.min(skm[0:1, :])          # first overhang key (sorted)
+        mx_pre = jnp.max(rk[rpt - OV_ROWS - 1:rpt - OV_ROWS, :])
+        rk_top = rk[rpt - OV_ROWS:, :]
+        comp_rm = jnp.where((rk_top >= PACK_LIMIT) | (rk_top < ovh_min),
+                            jnp.int32(MAXI32), rk_top * 4)
+        comp_sm = jnp.where(skm >= PACK_LIMIT, jnp.int32(MAXI32),
+                            skm * 4 + 1)
+        mergedm = linops.bitonic_merge_keys(
+            jnp.concatenate([comp_sm, linops.lreverse(comp_rm)], axis=0))
+        contribm = contributions(mergedm, ones_s, zeros_s, neg_s)
+
+        # exactness certificate; failing tiles contribute 0 and get flagged
+        ok = (mx_pre < ovh_min) & (rows_needed_smem[t] <= rpt + OV_ROWS)
+        acc[:] = acc[:] + jnp.where(ok, contrib0, zeros_m)
+        acc[0:2 * OV_ROWS, :] = (acc[0:2 * OV_ROWS, :]
+                                 + jnp.where(ok, contribm, zeros_s))
+        flag = jnp.where(ok, jnp.int32(0), jnp.int32(1))
+        flags_ref[pl.ds(t, 1), :] = jnp.where(srow == 0, flag, jnp.int32(0))
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_tiles), body, jnp.int32(0))
+    y = acc[:]
+    s = 8
+    while s < merged_rows:
+        y = y + pltpu.roll(y, jnp.int32(s), axis=0)
+        s *= 2
+    out_ref[:] = y[:8, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "unique_both", "interpret"))
+def _banded_count_narrow_jit(r_sorted2d: jax.Array, s2d: jax.Array,
+                             row_off: jax.Array, rows_needed: jax.Array, *,
+                             tile: int = 65536, unique_both: bool = False,
+                             interpret: bool = False):
+    rows_per_tile = tile // LANES
+    assert rows_per_tile > OV_ROWS
+    n_tiles = r_sorted2d.shape[0] // rows_per_tile
+    kernel = functools.partial(_count_narrow_megakernel, n_tiles=n_tiles,
+                               rows_per_tile=rows_per_tile,
+                               unique_both=unique_both)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((8, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((n_tiles, LANES), jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((2, rows_per_tile + OV_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((2 * rows_per_tile, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(row_off, rows_needed, r_sorted2d, s2d)
+
+
+def banded_count_narrow(*args, **kwargs):
+    """Narrow-band match counts of tile-sorted R against sorted S.
+
+    args: r_sorted2d (F*rows_per_tile, 128); s2d globally sorted, end-padded
+    with >= OV_ROWS rows of MAXI32; row_off (F,) int32 S-slice start rows;
+    rows_needed (F,) int32 band row counts.
+
+    Returns (counts (8,128) int32, flags (F,128) int32) — flags[:,0] == 1
+    marks tiles the caller must recount exactly (band overflow or overhang
+    participants outside the tile's last OV_ROWS rows)."""
+    return call_with_big_stack(_banded_count_narrow_jit, *args, **kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -208,7 +420,7 @@ def sort_tiles(keys2d, **kwargs):
 # ---------------------------------------------------------------------------
 
 def _count_megakernel(row_off_smem, n_chunks_smem, r_hbm, s_hbm, out_ref,
-                      rbuf, sbuf0, sbufn, sem_r, sem_s0, sem_sn, *,
+                      rbuf, sbuf0, sbufn, acc, sem_r, sem_s0, sem_sn, *,
                       n_tiles: int, rows_per_tile: int, max_chunks: int,
                       unique_both: bool = False):
     """Double-buffered banded count: the loop is bound by max(DMA, merge)
@@ -225,8 +437,12 @@ def _count_megakernel(row_off_smem, n_chunks_smem, r_hbm, s_hbm, out_ref,
                 within the tile.
     """
     del max_chunks  # chunk loop bound is dynamic per tile
-    out_ref[:] = jnp.zeros((8, LANES), jnp.int32)
     merged_rows = 2 * rows_per_tile
+    # per-position contribution accumulator, folded to (8,128) ONCE at the
+    # end — saves the log(merged_rows) roll-add tree per chunk.  int32 is
+    # safe: a position's contribution is <= tile size (2^16) per chunk and
+    # there are <= n_tiles * max_chunks <= 2^13 chunk visits → < 2^29.
+    acc[:] = jnp.zeros((merged_rows, LANES), jnp.int32)
     two = jnp.int32(2)
     # hoisted vector constants: Mosaic recurses on scalar where-branches and
     # bool→int astype inside kernel loops — keep every select vector/vector
@@ -266,6 +482,9 @@ def _count_megakernel(row_off_smem, n_chunks_smem, r_hbm, s_hbm, out_ref,
         s0_dma(tslot, t).wait()   # unconditional: keeps sem_s0 balanced
         rk = rbuf[tslot]
         comp_r = jnp.where(rk >= PACK_LIMIT, jnp.int32(MAXI32), rk * 4)
+        # reverse the R side ONCE per tile (concat(S, rev R) is just as
+        # bitonic as concat(R, rev S) — and S changes per chunk, R doesn't)
+        rev_r = linops.lreverse(comp_r)
 
         def chunk_body(c, carry2):
             cslot = jax.lax.rem(c, two)
@@ -284,7 +503,8 @@ def _count_megakernel(row_off_smem, n_chunks_smem, r_hbm, s_hbm, out_ref,
             sk = jnp.where(is0, sbuf0[tslot], sbufn[cslot])
             comp_s = jnp.where(sk >= PACK_LIMIT, jnp.int32(MAXI32),
                                sk * 4 + 1)
-            merged = linops.merge_two_sorted_keys(comp_r, comp_s)
+            merged = linops.bitonic_merge_keys(
+                jnp.concatenate([comp_s, rev_r], axis=0))
             if unique_both:
                 # both sides unique (PK ⋈ permutation — the headline
                 # oracle): an S element (4k+1) matches iff its immediate
@@ -302,14 +522,7 @@ def _count_megakernel(row_off_smem, n_chunks_smem, r_hbm, s_hbm, out_ref,
                 prev_a = linops.cummax_linear(
                     jnp.where(run_start, a - rcnt, neg_m))
                 contrib = jnp.where(tag == 1, a - prev_a, zeros_m)
-            # fold (2*rows, 128) contributions into the (8, 128) accumulator
-            # with a mod-8 roll tree — no traced scalars anywhere
-            y = contrib
-            s = 8
-            while s < merged_rows:
-                y = y + pltpu.roll(y, jnp.int32(s), axis=0)
-                s *= 2
-            out_ref[:] = out_ref[:] + y[:8, :]
+            acc[:] = acc[:] + contrib
             return carry2
 
         jax.lax.fori_loop(jnp.int32(0), n_chunks_smem[t], chunk_body,
@@ -317,6 +530,14 @@ def _count_megakernel(row_off_smem, n_chunks_smem, r_hbm, s_hbm, out_ref,
         return carry
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_tiles), body, jnp.int32(0))
+    # fold (2*rows, 128) accumulated contributions into the (8, 128) output
+    # with a mod-8 roll tree — no traced scalars anywhere
+    y = acc[:]
+    s = 8
+    while s < merged_rows:
+        y = y + pltpu.roll(y, jnp.int32(s), axis=0)
+        s *= 2
+    out_ref[:] = y[:8, :]
 
 
 @functools.partial(jax.jit,
@@ -348,6 +569,7 @@ def _banded_count_jit(r_sorted2d: jax.Array, s2d: jax.Array,
             pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
             pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
             pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((2 * rows_per_tile, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -115,132 +115,78 @@ def _index_bit(shape, s: int) -> jax.Array:
     return (idx & s) != 0
 
 
-def _composite_less(k1, t1, k2, t2):
-    """(key, tag) lexicographic strict less-than."""
-    return (k1 < k2) | ((k1 == k2) & (t1 < t2))
+# ---------------------------------------------------------------------------
+# Compare-exchange networks.
+#
+# Every bitonic stage pairs element i with partner i XOR s for a power-of-two
+# stride s.  Because the tile axes are powers of two, that partner never
+# crosses an axis boundary from the side that reads it: strides < 128 stay
+# within a row (lane ^ s < 128 when lane's bit s is clear), strides that are
+# multiples of 128 stay within a lane column.  Each stage is therefore TWO
+# single-axis rotates plus min/max/select — ~5 vector ops — instead of the
+# generic linear-roll pair (~10-17 ops) a cyclic lroll chain costs.  Keys are
+# single int32 arrays: the hot path packs (key, tag) into one composite
+# key*4 + tag (valid for keys < 2^29 — the planner certifies density).
+# ---------------------------------------------------------------------------
+
+def _stage_axis(shape, s: int):
+    """Axis decomposition of a power-of-two stride: (axis, size, shift)."""
+    if s >= LANES:
+        return 0, shape[0], s // LANES
+    return 1, LANES, s
 
 
-def compare_exchange(key, tag, s: int, asc_mask):
+def _partner_plus(x: jax.Array, s: int) -> jax.Array:
+    """y[i] = x[i + s], valid at positions whose index bit s is CLEAR
+    (there i + s == i XOR s stays on the same axis line).  Bit-set positions
+    receive wrapped values — callers never read them there."""
+    axis, size, t = _stage_axis(x.shape, s)
+    return pltpu.roll(x, jnp.int32(size - t), axis=axis)
+
+
+def _partner_minus(x: jax.Array, s: int) -> jax.Array:
+    """y[i] = x[i - s], valid at positions whose index bit s is SET."""
+    axis, size, t = _stage_axis(x.shape, s)
+    return pltpu.roll(x, jnp.int32(t), axis=axis)
+
+
+def _ce_keys(key, s: int, asc_mask=None):
     """One compare-exchange stage with partner i XOR s.
 
-    asc_mask: bool array, True where the element's block sorts ascending.
-    Returns updated (key, tag).
-    """
-    L = key.shape[0] * key.shape[1]
+    min/max form: the pair minimum computed at the bit-clear position and the
+    pair maximum rotated to the bit-set position replace the explicit
+    compare-and-keep algebra.  asc_mask=None means the whole tile sorts
+    ascending (the merge case) — one rotate cheaper."""
     bit = _index_bit(key.shape, s)
-    pk_hi, pt_hi = lroll(key, s), lroll(tag, s)          # partner at i+s
-    pk_lo, pt_lo = lroll(key, L - s), lroll(tag, L - s)  # partner at i-s
-    pk = jnp.where(bit, pk_lo, pk_hi)
-    pt = jnp.where(bit, pt_lo, pt_hi)
-    x_lt_p = _composite_less(key, tag, pk, pt)
-    p_lt_x = _composite_less(pk, pt, key, tag)
-    # ascending block: lower position keeps min, upper keeps max.
-    # On a composite tie both terms are False -> partner taken, but partner
-    # equals x, so either choice is correct.
-    # NOTE: jnp.where with boolean branch *arrays* crashes the Mosaic
-    # backend compiler; use boolean algebra instead.
-    keep_x_asc = (bit & p_lt_x) | (~bit & x_lt_p)
-    keep_x = ~(keep_x_asc ^ asc_mask)
-    new_key = jnp.where(keep_x, key, pk)
-    new_tag = jnp.where(keep_x, tag, pt)
-    return new_key, new_tag
-
-
-def bitonic_merge(key, tag):
-    """Sort a bitonic (key, tag) sequence ascending: stages L/2 .. 1."""
-    L = key.shape[0] * key.shape[1]
-    asc = jnp.ones(key.shape, jnp.bool_)
-    s = L // 2
-    while s >= 1:
-        key, tag = compare_exchange(key, tag, s, asc)
-        s //= 2
-    return key, tag
-
-
-def bitonic_sort(key, tag):
-    """Full ascending bitonic sort of (key, tag) over linear order."""
-    L = key.shape[0] * key.shape[1]
-    kk = 2
-    while kk <= L:
-        # block of size kk sorts ascending iff bit kk of index is 0
-        asc = ~_index_bit(key.shape, kk) if kk < L else jnp.ones(key.shape, jnp.bool_)
-        s = kk // 2
-        while s >= 1:
-            key, tag = compare_exchange(key, tag, s, asc)
-            s //= 2
-        kk *= 2
-    return key, tag
-
-
-def merge_two_sorted(key_a, tag_a, key_b, tag_b):
-    """Merge two ascending (key, tag) tiles into one ascending sequence of
-    2x the length: concat(A, reverse(B)) is bitonic."""
-    key = jnp.concatenate([key_a, lreverse(key_b)], axis=0)
-    tag = jnp.concatenate([tag_a, lreverse(tag_b)], axis=0)
-    return bitonic_merge(key, tag)
-
-
-def odd_even_passes(key, tag, passes: int):
-    """`passes` rounds of odd-even transposition (each round = one odd + one
-    even stride-1 exchange).  Sorts any sequence whose elements sit at most
-    `passes` positions from their sorted place — the bounded-displacement
-    (locality!) fast path: O(w) dense work instead of O(log^2 L)."""
-    L = key.shape[0] * key.shape[1]
-    i = linear_iota(key.shape)
-    maxk = jnp.array(jnp.iinfo(key.dtype).max, key.dtype)
-    mink = jnp.array(jnp.iinfo(key.dtype).min, key.dtype)
-    for p in range(2 * passes):
-        parity = p % 2
-        # pairs (j, j+1) with j ≡ parity (mod 2); element i is the "low" end
-        # of its pair iff i ≡ parity.  Out-of-range partners get +/-INF fills
-        # so the compare always keeps x at the edges.
-        low = (i % 2) == parity
-        nk, nt = lshift(key, 1, maxk), lshift(tag, 1, jnp.int32(0))
-        pk_, pt_ = lshift(key, -1, mink), lshift(tag, -1, jnp.int32(0))
-        pk = jnp.where(low, nk, pk_)
-        pt = jnp.where(low, nt, pt_)
-        x_lt_p = _composite_less(key, tag, pk, pt)
-        p_lt_x = _composite_less(pk, pt, key, tag)
-        keep_x = (low & ~p_lt_x) | (~low & ~x_lt_p)
-        key = jnp.where(keep_x, key, pk)
-        tag = jnp.where(keep_x, tag, pt)
-    return key, tag
-
-
-# ---------------------------------------------------------------------------
-# Payloadless (single-array) variants: the hot path packs (key, tag) into one
-# int32 composite (key*4 + tag, valid for keys < 2^29 — the planner certifies
-# density), halving the per-stage op count.
-# ---------------------------------------------------------------------------
-
-def _ce_keys(key, s: int, asc_mask):
-    """Single-array compare-exchange with partner i XOR s."""
-    L = key.shape[0] * key.shape[1]
-    bit = _index_bit(key.shape, s)
-    pk = jnp.where(bit, lroll(key, L - s), lroll(key, s))
-    # min at the lower position of ascending blocks (bool-branch jnp.where
-    # crashes Mosaic; express the select with boolean algebra)
-    keep_asc = (bit & (pk < key)) | (~bit & (key < pk))
-    keep = ~(keep_asc ^ asc_mask)
-    return jnp.where(keep, key, pk)
+    a = _partner_plus(key, s)
+    mn = jnp.minimum(key, a)        # pair min, valid at bit-clear positions
+    mx = jnp.maximum(key, a)        # pair max, valid at bit-clear positions
+    mxb = _partner_minus(mx, s)     # pair max, valid at bit-set positions
+    if asc_mask is None:
+        return jnp.where(bit, mxb, mn)
+    mnb = _partner_minus(mn, s)     # pair min, valid at bit-set positions
+    return jnp.where(asc_mask,
+                     jnp.where(bit, mxb, mn),
+                     jnp.where(bit, mnb, mx))
 
 
 def bitonic_merge_keys(key):
+    """Sort a bitonic int32 sequence ascending: stages L/2 .. 1."""
     L = key.shape[0] * key.shape[1]
-    asc = jnp.ones(key.shape, jnp.bool_)
     s = L // 2
     while s >= 1:
-        key = _ce_keys(key, s, asc)
+        key = _ce_keys(key, s)
         s //= 2
     return key
 
 
 def bitonic_sort_keys(key):
+    """Full ascending bitonic sort over linear order."""
     L = key.shape[0] * key.shape[1]
     kk = 2
     while kk <= L:
-        asc = (~_index_bit(key.shape, kk) if kk < L
-               else jnp.ones(key.shape, jnp.bool_))
+        # block of size kk sorts ascending iff bit kk of the index is 0
+        asc = ~_index_bit(key.shape, kk) if kk < L else None
         s = kk // 2
         while s >= 1:
             key = _ce_keys(key, s, asc)
@@ -255,35 +201,39 @@ def merge_two_sorted_keys(key_a, key_b):
 
 
 def block_bitonic_sort_keys(key, block: int, offset: int = 0):
-    """Sort every aligned `block`-element segment of the linear order
-    (segments start at linear index ≡ offset mod block) ascending.
+    """Sort every `block`-element segment of the linear order (segments start
+    at linear index ≡ offset mod block) ascending.
 
     Elements before `offset` and in the trailing partial segment are left
-    untouched (they pair with the other pass's segments).  All masks are
-    pure index functions — compile-time constant vector patterns.
+    untouched (they pair with the other pass's segments).  Implemented by
+    rotating the tile so segments align to block boundaries (the aligned
+    network is pure XOR-partner stages — cheap single-axis rotates), freezing
+    the one block that wraps, and rotating back.
     """
     rows, lanes = key.shape
     L = rows * lanes
-    i = linear_iota(key.shape)
-    # all index arithmetic in explicit int32: a python int that reaches a
-    # vector op as int64 (x64 mode) is unlowerable by Mosaic
-    pos = (i - jnp.int32(offset)) % jnp.int32(block)
-    full_end = offset + ((L - offset) // block) * block
-    valid = (i >= jnp.int32(offset)) & (i < jnp.int32(full_end))
+    rot = offset % block
+    if rot:
+        key = lroll(key, rot)
+    # In rotated space the leading stub [0, offset) and the trailing partial
+    # segment land together in the final, block-aligned region — freeze it.
+    frozen_start = ((L - rot) // block) * block
+    live = None
+    if frozen_start < L:
+        live = linear_iota(key.shape) < jnp.int32(frozen_start)
     kk = 2
     while kk <= block:
-        asc = (((pos & jnp.int32(kk)) == 0) if kk < block
-               else jnp.ones(key.shape, jnp.bool_))
+        asc = ~_index_bit(key.shape, kk) if kk < block else None
         s = kk // 2
         while s >= 1:
-            bit = (pos & jnp.int32(s)) != 0
-            # partner at pos ^ s: +s when bit clear, -s when set
-            pk = jnp.where(bit, lroll(key, L - s), lroll(key, s))
-            keep_asc = (bit & (pk < key)) | (~bit & (key < pk))
-            keep = ~(keep_asc ^ asc) | ~valid   # partials keep their value
-            key = jnp.where(keep, key, pk)
+            new = _ce_keys(key, s, asc)
+            # frozen blocks keep their values; partners never cross the
+            # (block-aligned) frozen boundary, so live results are exact
+            key = new if live is None else jnp.where(live, new, key)
             s //= 2
         kk *= 2
+    if rot:
+        key = lroll(key, L - rot)
     return key
 
 
@@ -306,20 +256,44 @@ def odd_even_passes_keys(key, passes: int):
     """Payloadless odd-even transposition: sorts displacement<=passes data.
     One fori iteration applies both parities (parity stays static so every
     mask is a compile-time int32 pattern — no loop-index arithmetic leaks
-    int64 into the vector code)."""
+    int64 into the vector code).
+
+    The even phase pairs (2j, 2j+1) — partner i XOR 1, a pure lane-rotate
+    exchange that never crosses rows.  The odd phase pairs (2j+1, 2j+2);
+    its row-crossing pairs (lane 127 ↔ lane 0 of the next row) take one
+    extra row rotate, and the two globally unpaired elements (i = 0, L-1)
+    are restored by a constant edge mask."""
+    rows, lanes = key.shape
+    L = rows * lanes
     i = linear_iota(key.shape)
+    lane = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
     even = (i & 1) == 0
-    maxk = jnp.array(jnp.iinfo(key.dtype).max, key.dtype)
-    mink = jnp.array(jnp.iinfo(key.dtype).min, key.dtype)
+    last_lane = lane == LANES - 1
+    first_lane = lane == 0
+    edge = (i == 0) | (i == jnp.int32(L - 1))
 
-    def half_pass(key, low):
-        pk = jnp.where(low, lshift(key, 1, maxk), lshift(key, -1, mink))
-        # low end keeps the pair minimum, high end the maximum
-        return jnp.where(low, jnp.minimum(key, pk), jnp.maximum(key, pk))
+    def even_phase(k):
+        a = pltpu.roll(k, jnp.int32(LANES - 1), axis=1)    # k[row, lane+1]
+        mn = jnp.minimum(k, a)                             # valid at even i
+        mx = jnp.maximum(k, a)
+        mxb = pltpu.roll(mx, jnp.int32(1), axis=1)         # pair max at odd i
+        return jnp.where(even, mn, mxb)
 
-    def body(_, key):
-        key = half_pass(key, even)    # pairs (0,1),(2,3),...
-        return half_pass(key, ~even)  # pairs (1,2),(3,4),...
+    def odd_phase(k):
+        a = pltpu.roll(k, jnp.int32(LANES - 1), axis=1)    # k[row, lane+1]
+        # lane 127's successor lives at lane 0 of the NEXT row
+        a = jnp.where(last_lane, pltpu.roll(a, jnp.int32(rows - 1), axis=0),
+                      a)
+        mn = jnp.minimum(k, a)                             # valid at odd i
+        mx = jnp.maximum(k, a)
+        mxb = pltpu.roll(mx, jnp.int32(1), axis=1)         # mx[row, lane-1]
+        mxb = jnp.where(first_lane,
+                        pltpu.roll(mxb, jnp.int32(1), axis=0), mxb)
+        res = jnp.where(even, mxb, mn)
+        return jnp.where(edge, k, res)                     # i=0, L-1 unpaired
+
+    def body(_, k):
+        return odd_phase(even_phase(k))
 
     # int32 bounds: x64 mode would make the loop index int64, which Mosaic
     # cannot lower.

@@ -20,6 +20,7 @@ from htm_hashjoin_tpu.joins.pallas_backend import (
     LANES, _banded_join_device, _slice_offsets, prepare_probe_side,
     to_tiles_2d)
 from htm_hashjoin_tpu.ops.pallas.join_kernels import (banded_count,
+                                                      banded_count_narrow,
                                                       sort_tiles, tile_stats)
 from htm_hashjoin_tpu.data.generators import local_shuffled_keys, sorted_keys
 
@@ -82,6 +83,13 @@ timeit("banded_count unique", lambda: banded_count(
     sorted2d, s2d, row_off, n_chunks, tile=TILE, unique_both=True))
 timeit("banded_count general", lambda: banded_count(
     sorted2d, s2d, row_off, n_chunks, tile=TILE, unique_both=False))
+rows_needed = jnp.maximum((end + LANES - 1) // LANES - off // LANES,
+                          0).astype(jnp.int32)
+int(rows_needed[0])
+timeit("narrow_count unique", lambda: banded_count_narrow(
+    sorted2d, s2d, row_off, rows_needed, tile=TILE, unique_both=True))
+timeit("narrow_count general", lambda: banded_count_narrow(
+    sorted2d, s2d, row_off, rows_needed, tile=TILE, unique_both=False))
 timeit("full pipeline chain", lambda: _banded_join_device(
-    r2d, s2d, skeys, tile=TILE, method="blocks", passes=WINDOW,
-    max_chunks=4, unique_both=True, interpret=False)[0])
+    r2d, s2d, skeys, tile=TILE, method="oddeven", passes=WINDOW,
+    max_chunks=4, unique_both=True, narrow=True, interpret=False)[0])

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pallas.join_kernels import (MAXI32, banded_count, sort_tiles,
+from ..ops.pallas.join_kernels import (MAXI32, OV_ROWS, banded_count,
+                                       banded_count_narrow, sort_tiles,
                                        tile_stats)
 from ..ops import probe as probe_ops
 
@@ -193,10 +194,14 @@ class BandedJoinOutcome(NamedTuple):
 def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
                         skeys_sorted: jax.Array, *, tile: int, method: str,
                         passes: int, max_chunks: int, unique_both: bool,
-                        interpret: bool):
+                        narrow: bool, interpret: bool):
     """The full join as one async device chain: sort → stats → offsets →
     count, with violations/overflow/conservation folded into the outputs.
-    Nothing here blocks; the caller fences once."""
+    Nothing here blocks; the caller fences once.
+
+    narrow=True routes through the single-merge narrow-band kernel (half the
+    VPU work); its per-tile exactness flags feed the same repair path as
+    band overflow."""
     rows_per_tile = tile // LANES
     if method == "presorted":     # globally sorted input is tile-sorted
         sorted2d = r2d
@@ -211,24 +216,55 @@ def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
     row_off = off // LANES
     end_row = (end + LANES - 1) // LANES
     rows_needed = jnp.maximum(end_row - row_off, 0)
-    n_chunks = (rows_needed + rows_per_tile - 1) // rows_per_tile
-    overflow = n_chunks > max_chunks
-    n_chunks_clipped = jnp.where(overflow, 0, n_chunks).astype(jnp.int32)
-    counts = banded_count(sorted2d, s2d, row_off.astype(jnp.int32),
-                          n_chunks_clipped, tile=tile, max_chunks=max_chunks,
-                          unique_both=unique_both, interpret=interpret)
+    if narrow:
+        counts, flags = banded_count_narrow(
+            sorted2d, s2d, row_off.astype(jnp.int32),
+            rows_needed.astype(jnp.int32), tile=tile,
+            unique_both=unique_both, interpret=interpret)
+        bad = flags[:, 0] > 0
+    else:
+        n_chunks = (rows_needed + rows_per_tile - 1) // rows_per_tile
+        bad = n_chunks > max_chunks
+        n_chunks_clipped = jnp.where(bad, 0, n_chunks).astype(jnp.int32)
+        counts = banded_count(sorted2d, s2d, row_off.astype(jnp.int32),
+                              n_chunks_clipped, tile=tile,
+                              max_chunks=max_chunks,
+                              unique_both=unique_both, interpret=interpret)
     matches = _sum_i64(counts)
     out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
     in_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
-    return (matches, _sum_i64(viols), _sum_i64(overflow), out_sum, in_sum,
-            sorted2d, off, end)
+    return (matches, _sum_i64(viols), _sum_i64(bad), out_sum, in_sum,
+            sorted2d, off, end, bad)
+
+
+def enqueue_banded_join(rkeys: jax.Array, skeys_sorted: jax.Array, *,
+                        tile: int = DEFAULT_TILE,
+                        locality_window: Optional[int] = None,
+                        unique_both: bool = False, max_chunks: int = 4,
+                        s2d: Optional[jax.Array] = None):
+    """Enqueue one full optimistic build+probe on the device WITHOUT any
+    host sync; returns the device result tuple (matches, violations,
+    flagged, out_sum, in_sum, ...).  For back-to-back throughput (the
+    production serving shape): enqueue K joins, fence once on the last
+    result, then verify every bundle.  Callers must check violations==0 and
+    flagged==0 (else re-run via banded_join_pipelined, which repairs)."""
+    r2d = to_tiles_2d(rkeys, tile)
+    method, passes = _sort_method(locality_window, tile)
+    if s2d is None:
+        s2d = prepare_probe_side(skeys_sorted, tile, max_chunks)
+    return _banded_join_device(r2d, s2d, skeys_sorted, tile=tile,
+                               method=method, passes=passes,
+                               max_chunks=max_chunks,
+                               unique_both=unique_both, narrow=True,
+                               interpret=False)
 
 
 def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                           tile: int = DEFAULT_TILE,
                           locality_window: Optional[int] = None,
                           presort: bool = False, unique_both: bool = False,
-                          max_chunks: int = 4, interpret: bool = False,
+                          max_chunks: int = 4, narrow: Optional[bool] = None,
+                          interpret: bool = False,
                           s2d: Optional[jax.Array] = None
                           ) -> BandedJoinOutcome:
     """Full build+probe with exactly one host sync on the fast path.
@@ -239,20 +275,27 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
     (HTMHashBuild.hpp:188-238) with the host round trip paid only on actual
     aborts.  ``presort=True`` globally sorts R first (XLA sort) — the
     radix-path plan for data without locality: tiles become disjoint ranges,
-    so bands stay narrow regardless of distribution."""
+    so bands stay narrow regardless of distribution.
+
+    ``narrow`` selects the single-merge narrow-band count kernel (default:
+    on for unique keys, locality plans, and presorted builds — everywhere
+    bands are expected to stay within one tile + a small overhang; tiles
+    that break the expectation are repaired host-side, exactly)."""
     if presort:
         r2d = to_tiles_2d(jnp.sort(rkeys), tile)
         method, passes = "presorted", 0
     else:
         r2d = to_tiles_2d(rkeys, tile)
         method, passes = _sort_method(locality_window, tile)
+    if narrow is None:
+        narrow = unique_both or presort or method in ("oddeven", "blocks")
     if s2d is None:
         s2d = prepare_probe_side(skeys_sorted, tile, max_chunks)
     res = _banded_join_device(r2d, s2d, skeys_sorted, tile=tile,
                               method=method, passes=passes,
                               max_chunks=max_chunks, unique_both=unique_both,
-                              interpret=interpret)
-    matches, viols, overflow, out_sum, in_sum, sorted2d, off, end = res
+                              narrow=narrow, interpret=interpret)
+    matches, viols, overflow, out_sum, in_sum, sorted2d, off, end, bad = res
     bundle = np.asarray(jnp.stack([matches, viols, overflow, out_sum,
                                    in_sum]))
     resorted = False
@@ -260,22 +303,19 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
         res = _banded_join_device(r2d, s2d, skeys_sorted, tile=tile,
                                   method="bitonic", passes=0,
                                   max_chunks=max_chunks,
-                                  unique_both=unique_both,
+                                  unique_both=unique_both, narrow=narrow,
                                   interpret=interpret)
-        matches, viols, overflow, out_sum, in_sum, sorted2d, off, end = res
+        matches, viols, overflow, out_sum, in_sum, sorted2d, off, end, bad = res
         bundle = np.asarray(jnp.stack([matches, jnp.zeros_like(viols),
                                        overflow, out_sum, in_sum]))
         resorted = True
     matches_i = int(bundle[0])
     overflow_i = int(bundle[2])
     if overflow_i:                      # skew spill → XLA per-tile fallback
-        rows_per_tile = tile // LANES
-        n_chunks = ((jnp.maximum((end + LANES - 1) // LANES - off // LANES, 0)
-                     + rows_per_tile - 1) // rows_per_tile)
-        bad = np.nonzero(np.asarray(n_chunks > max_chunks))[0]
+        bad_tiles = np.nonzero(np.asarray(bad))[0]
         flat = sorted2d.reshape(-1)
         off_np, end_np = np.asarray(off), np.asarray(end)
-        for t in bad:
+        for t in bad_tiles:
             r_tile = jax.lax.dynamic_slice(flat, (int(t) * tile,), (tile,))
             s_slice = skeys_sorted[int(off_np[t]):int(end_np[t])]
             matches_i += int(probe_ops.probe_sorted(r_tile, s_slice))

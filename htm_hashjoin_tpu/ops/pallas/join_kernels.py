@@ -340,8 +340,11 @@ def _count_narrow_megakernel(row_off_smem, rows_needed_smem, r_hbm, s_hbm,
         ovh_min = jnp.min(skm[0:1, :])          # first overhang key (sorted)
         mx_pre = jnp.max(rk[rpt - OV_ROWS - 1:rpt - OV_ROWS, :])
         rk_top = rk[rpt - OV_ROWS:, :]
-        comp_rm = jnp.where((rk_top >= PACK_LIMIT) | (rk_top < ovh_min),
-                            jnp.int32(MAXI32), rk_top * 4)
+        # no value mask: rk_top stays ascending (a mask to MAXI32 would
+        # break bitonicity), and R keys < ovh_min simply match nothing in
+        # the overhang
+        comp_rm = jnp.where(rk_top >= PACK_LIMIT, jnp.int32(MAXI32),
+                            rk_top * 4)
         comp_sm = jnp.where(skm >= PACK_LIMIT, jnp.int32(MAXI32),
                             skm * 4 + 1)
         mergedm = linops.bitonic_merge_keys(

@@ -288,7 +288,11 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
         r2d = to_tiles_2d(rkeys, tile)
         method, passes = _sort_method(locality_window, tile)
     if narrow is None:
-        narrow = unique_both or presort or method in ("oddeven", "blocks")
+        # narrow bands are certain for unique keys and expected for
+        # locality-sorted builds; presorted DUPLICATE-heavy plans can have
+        # arbitrarily wide bands (a key run straddling a tile boundary), so
+        # they keep the general multi-chunk kernel unless keys are unique
+        narrow = unique_both or method in ("oddeven", "blocks")
     if s2d is None:
         s2d = prepare_probe_side(skeys_sorted, tile, max_chunks)
     res = _banded_join_device(r2d, s2d, skeys_sorted, tile=tile,

@@ -236,3 +236,33 @@ def test_pipelined_large_window_blocks():
                                 locality_window=300, unique_both=True,
                                 interpret=True)
     assert out.matches == N and out.violations == 0
+
+
+def test_narrow_kernel_wide_band_flags_and_repair():
+    """A tile whose S band far exceeds tile+overhang must be flagged by the
+    narrow kernel and recounted exactly host-side (the conflict-spill path:
+    kernel contributes 0 for flagged tiles, pipeline repairs)."""
+    from htm_hashjoin_tpu.joins.pallas_backend import banded_join_pipelined
+    r = local_shuffled_keys(N, 8, 7)
+    # S: sorted with a 6000-copy run of one key inside tile 0's value range
+    # -> tile 0's band spans ~47 rows >> 16 + 8
+    s = np.sort(np.concatenate([np.arange(1, N + 1, dtype=np.int32),
+                                np.full(6000, 100, np.int32)]))
+    out = banded_join_pipelined(jnp.asarray(r), jnp.asarray(s), tile=2048,
+                                locality_window=8, interpret=True)
+    assert out.overflow_tiles >= 1            # flagged, host-repaired
+    assert out.matches == N + 6000            # every s matches exactly once
+    assert out.output_sum == N * (N + 1) // 2
+
+
+def test_narrow_kernel_overhang_spanning_matches():
+    """Matches that land exactly in the overhang rows (band one row past the
+    window) are counted by the mini-merge — the regression that the masked
+    mini-merge bug silently dropped."""
+    from htm_hashjoin_tpu.joins.pallas_backend import banded_join_pipelined
+    for seed in range(4):
+        r = local_shuffled_keys(N, 8, seed)
+        out = banded_join_pipelined(r, sorted_keys(N), tile=2048,
+                                    locality_window=8, interpret=True)
+        assert out.matches == N, seed
+        assert out.overflow_tiles == 0

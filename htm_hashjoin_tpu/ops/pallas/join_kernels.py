@@ -117,7 +117,7 @@ def _sort_megakernel(r_hbm, out_hbm, stats_ref, buf, obuf, sem_in, sem_out, *,
     def tile_stats_row(v):
         mn = jnp.min(v)
         mx = jnp.max(jnp.where(v == MAXI32, jnp.int32(-(1 << 31)), v))
-        if method == "bitonic":
+        if method.startswith("bitonic"):   # exact sorters: no violations
             cnt = jnp.int32(0)
         else:
             nxt = pltpu.roll(v, jnp.int32(LANES - 1), axis=1)  # v[i+1]
@@ -162,6 +162,11 @@ def _sort_megakernel(r_hbm, out_hbm, stats_ref, buf, obuf, sem_in, sem_out, *,
         v = buf[slot]
         if method == "bitonic":
             v = linops.bitonic_sort_keys(v)
+        elif method == "bitonic_alt":
+            # global-sort phase A: tile t ascending iff t is even, so each
+            # 2-tile block starts the cross-tile network bitonic
+            v = linops.bitonic_sort_keys(v, final_asc=(jax.lax.rem(t, two)
+                                                       == 0))
         elif method == "blocks":
             # shifted-block sorter: exact for displacement <= passes, far
             # fewer stages than odd-even at windows >= ~8
@@ -243,6 +248,173 @@ def sort_tiles(keys2d, **kwargs):
     lane 0 = per-tile min, lane 1 = max (padding excluded), lane 2 =
     sortedness violations (always 0 for the exact bitonic method)."""
     return call_with_big_stack(_sort_tiles_jit, keys2d, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Kernel C: global bitonic sort (grouped cross-tile stages)
+# ---------------------------------------------------------------------------
+#
+# The sort-first (radix) plan for data without locality needs R *globally*
+# sorted.  XLA's jnp.sort costs ~423 ms at 2^27 on v5e — 6.7x our in-VMEM
+# bitonic tile sort per element — so the global sort is built from the same
+# megakernel machinery: phase A tile-sorts with alternating directions; then
+# each bitonic level's cross-tile stages (partner tile = tile XOR 2^b) are
+# processed in GROUPS of GSORT_BITS tile-index bits: the 2^GSORT_BITS tiles
+# of a group are stacked in VMEM, where the group's stages become pure
+# row-stride XOR exchanges (_ce_keys), and the level's final group fuses the
+# 16 intra-tile stages before writeback.  HBM traffic: sum over levels j of
+# ceil(j/GSORT_BITS) full read+write passes — vs jnp.sort's many.
+#
+# Direction bookkeeping: at level kk = T·2^j, ascending ⇔ global index bit
+# kk is clear.  That bit is tile-index bit j, which is NEVER among the
+# level's stage bits (those are j-1..0) — so the direction is one traced
+# scalar per group, broadcast over the stack.
+
+GSORT_BITS = 3
+
+
+def _gsort_pass_kernel(in_hbm, out_hbm, buf, obuf, sem_in, sem_out, *,
+                       n_tiles: int, rows_per_tile: int, bits: tuple,
+                       level: int, include_local: bool, final_level: bool):
+    """One pass of cross-tile stages for tile-index `bits` (descending) of
+    bitonic level `level` (blocks of 2^level tiles), double-buffered."""
+    g = len(bits)
+    members = 1 << g
+    stack_rows = members * rows_per_tile
+    n_groups = n_tiles // members
+    two = jnp.int32(2)
+
+    # tile_id(group, m) = base(group) with member bits spread over `bits`
+    def tile_of(gi, m):
+        # insert the member bits into the group index at positions `bits`
+        # (static positions, traced gi) — lowest position first
+        tid = gi
+        for pos in sorted(bits):
+            low = jax.lax.rem(tid, jnp.int32(1 << pos))
+            high = tid - low
+            tid = high * 2 + low
+        for k, pos in enumerate(sorted(bits, reverse=True)):
+            tid = tid + jnp.int32(((m >> (g - 1 - k)) & 1)) * (1 << pos)
+        return tid
+
+    def in_dma(slot, gi, m):
+        # m is a static python int; index as int32 (a bare int traces as
+        # i64 under x64, which Mosaic's memref_slice rejects)
+        return pltpu.make_async_copy(
+            in_hbm.at[pl.ds(tile_of(gi, m) * rows_per_tile, rows_per_tile),
+                      :],
+            buf.at[slot, pl.ds(m * rows_per_tile, rows_per_tile), :],
+            sem_in.at[slot, jnp.int32(m)])
+
+    def out_dma(slot, gi, m):
+        return pltpu.make_async_copy(
+            obuf.at[slot, pl.ds(m * rows_per_tile, rows_per_tile), :],
+            out_hbm.at[pl.ds(tile_of(gi, m) * rows_per_tile, rows_per_tile),
+                       :],
+            sem_out.at[slot, jnp.int32(m)])
+
+    for m in range(members):
+        in_dma(jnp.int32(0), jnp.int32(0), m).start()
+
+    def body(gi, carry):
+        slot = jax.lax.rem(gi, two)
+
+        @pl.when(gi + 1 < n_groups)
+        def _():
+            for m in range(members):
+                in_dma(jax.lax.rem(gi + 1, two), gi + 1, m).start()
+
+        for m in range(members):
+            in_dma(slot, gi, m).wait()
+        v = buf[slot]
+        if final_level:
+            asc = None
+        else:
+            # direction bit: tile-index bit `level` of the group's base —
+            # equal across members; one traced scalar broadcast
+            d = (jax.lax.rem(jax.lax.div(tile_of(gi, 0),
+                                         jnp.int32(1 << level)), two) == 0)
+            asc = jnp.broadcast_to(d, (stack_rows, LANES))
+        for k, pos in enumerate(sorted(bits, reverse=True)):
+            s = (1 << (g - 1 - k)) * rows_per_tile * LANES
+            v = linops._ce_keys(v, s, asc)
+        if include_local:
+            s = rows_per_tile * LANES // 2
+            while s >= 1:
+                v = linops._ce_keys(v, s, asc)
+                s //= 2
+
+        @pl.when(gi >= 2)
+        def _():
+            for m in range(members):
+                out_dma(slot, gi - 2, m).wait()
+
+        obuf[slot] = v
+        for m in range(members):
+            out_dma(slot, gi, m).start()
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_groups), body, jnp.int32(0))
+    last = jnp.int32(n_groups - 1)
+    for m in range(members):
+        out_dma(jax.lax.rem(last, two), last, m).wait()
+    if n_groups >= 2:
+        for m in range(members):
+            out_dma(jax.lax.rem(last - 1, two), last - 1, m).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "bits", "level",
+                                             "include_local", "final_level",
+                                             "interpret"))
+def _gsort_pass_jit(keys2d, *, tile: int, bits: tuple, level: int,
+                    include_local: bool, final_level: bool,
+                    interpret: bool = False):
+    rows_per_tile = tile // LANES
+    n_tiles = keys2d.shape[0] // rows_per_tile
+    members = 1 << len(bits)
+    kernel = functools.partial(
+        _gsort_pass_kernel, n_tiles=n_tiles, rows_per_tile=rows_per_tile,
+        bits=bits, level=level, include_local=include_local,
+        final_level=final_level)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(keys2d.shape, jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, members * rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((2, members * rows_per_tile, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, members)),
+            pltpu.SemaphoreType.DMA((2, members)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(keys2d)
+
+
+def global_sort_tiles(keys2d, *, tile: int = 65536, interpret: bool = False):
+    """Globally sort keys2d ((rows,128) int32, MAXI32-padded) ascending via
+    the grouped bitonic megakernels.  The tile count must be a power of two
+    (to_tiles_2d_pow2 pads).  Returns the sorted (rows,128) array."""
+    rows_per_tile = tile // LANES
+    n_tiles = keys2d.shape[0] // rows_per_tile
+    assert n_tiles & (n_tiles - 1) == 0, n_tiles
+    levels = n_tiles.bit_length() - 1
+    # phase A: tile sort, direction alternating by tile parity
+    cur = call_with_big_stack(
+        _sort_tiles_jit, keys2d, tile=tile,
+        method="bitonic" if levels == 0 else "bitonic_alt",
+        interpret=interpret)[0]
+    for j in range(1, levels + 1):
+        stage_bits = list(range(j - 1, -1, -1))
+        chunks = [stage_bits[i:i + GSORT_BITS]
+                  for i in range(0, len(stage_bits), GSORT_BITS)]
+        for ci, chunk in enumerate(chunks):
+            cur = call_with_big_stack(
+                _gsort_pass_jit, cur, tile=tile, bits=tuple(chunk), level=j,
+                include_local=(ci == len(chunks) - 1),
+                final_level=(j == levels), interpret=interpret)
+    return cur
 
 
 # ---------------------------------------------------------------------------

@@ -180,13 +180,21 @@ def bitonic_merge_keys(key):
     return key
 
 
-def bitonic_sort_keys(key):
-    """Full ascending bitonic sort over linear order."""
+def bitonic_sort_keys(key, final_asc=None):
+    """Full bitonic sort over linear order.  final_asc: None sorts
+    ascending; a traced bool scalar sorts ascending iff it is True (the
+    per-tile direction hook for the global cross-tile network)."""
     L = key.shape[0] * key.shape[1]
     kk = 2
     while kk <= L:
-        # block of size kk sorts ascending iff bit kk of the index is 0
-        asc = ~_index_bit(key.shape, kk) if kk < L else None
+        if kk < L:
+            # block of size kk sorts ascending iff bit kk of the index is 0
+            asc = ~_index_bit(key.shape, kk)
+            if final_asc is not None:
+                asc = asc == final_asc   # flip the whole network's parity
+        else:
+            asc = (None if final_asc is None
+                   else jnp.broadcast_to(final_asc, key.shape))
         s = kk // 2
         while s >= 1:
             key = _ce_keys(key, s, asc)

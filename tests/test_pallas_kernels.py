@@ -266,3 +266,21 @@ def test_narrow_kernel_overhang_spanning_matches():
                                     locality_window=8, interpret=True)
         assert out.matches == N, seed
         assert out.overflow_tiles == 0
+
+
+def test_global_sort_tiles():
+    """Grouped cross-tile bitonic network == np.sort, with MAXI32 padding
+    kept at the global end (duplicates, non-pow2 sizes, single tile)."""
+    from htm_hashjoin_tpu.joins.pallas_backend import to_tiles_2d_pow2
+    from htm_hashjoin_tpu.ops.pallas.join_kernels import (MAXI32,
+                                                          global_sort_tiles)
+    rng = np.random.default_rng(5)
+    for n in (2048, 6000, 16384):
+        for gen in ("dup", "perm"):
+            k = (rng.integers(0, 700, n) if gen == "dup"
+                 else rng.permutation(n) + 1).astype(np.int32)
+            r2d = to_tiles_2d_pow2(jnp.asarray(k), 2048)
+            out = np.asarray(global_sort_tiles(r2d, tile=2048,
+                                               interpret=True)).ravel()
+            np.testing.assert_array_equal(out[:n], np.sort(k))
+            assert (out[n:] == MAXI32).all()

@@ -72,12 +72,14 @@ class BandedBuild(NamedTuple):
 
 def _sort_method(locality_window: Optional[int], tile: int):
     """Pick the optimistic sorter by window.  Measured crossovers on v5e at
-    2^27 (odd-even scales linearly in w, shifted-block log²(w), bitonic
-    log²(tile)): odd-even to w=16, shifted-block to w=512, bitonic beyond."""
+    2^27 (odd-even scales linearly in w, shifted block-sort+merge ~log(w)
+    stages, bitonic log²(tile)): odd-even to w=8 (14.6 vs 15.1 ms),
+    shifted-block to w=512 (w=16: 19.4 vs odd-even 23.8 ms), bitonic
+    beyond."""
     w = locality_window
     if w is None or w <= 0 or w > min(512, tile // 2):
         return "bitonic", 0
-    return ("oddeven", w) if w <= 16 else ("blocks", w)
+    return ("oddeven", w) if w <= 8 else ("blocks", w)
 
 
 def banded_build(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,

@@ -245,19 +245,60 @@ def block_bitonic_sort_keys(key, block: int, offset: int = 0):
     return key
 
 
+def block_reverse(key, block: int):
+    """Reverse every aligned `block`-element segment of the linear order:
+    butterfly over the low log2(block) index bits."""
+    s = 1
+    while s < block:
+        bit = _index_bit(key.shape, s)
+        key = jnp.where(bit, _partner_minus(key, s), _partner_plus(key, s))
+        s *= 2
+    return key
+
+
+def block_merge_keys(key, block: int):
+    """Merge every aligned `block`-element segment whose two halves are each
+    sorted ascending: reverse the upper half (making the segment bitonic),
+    then the log2(block) merge stages.  The stage-count win over a full
+    block sort is what makes the shifted-block sorter beat odd-even."""
+    half = block // 2
+    bit = _index_bit(key.shape, half)
+    rev = block_reverse(key, half)          # both halves reversed
+    key = jnp.where(bit, rev, key)          # upper half reversed only
+    s = half
+    while s >= 1:
+        key = _ce_keys(key, s)
+        s //= 2
+    return key
+
+
 def shifted_block_sort_keys(key, window: int):
-    """Bounded-displacement sorter: two shifted passes of block bitonic
-    sorts with block = 2^ceil(log2(2·window)) — exact whenever every element
+    """Bounded-displacement sorter: one pass of aligned block bitonic sorts
+    with block = 2^ceil(log2(2·window)), then a half-block-shifted MERGE
+    pass (the shifted blocks are two sorted halves after pass 1, so only
+    log2(block) + reversal stages are needed) — exact whenever every element
     sits at most `window` positions from its sorted place (the staircase
-    lemma).  Fewer stages than odd-even transposition for window ≥ 16; any
+    lemma).  Fewer stages than odd-even transposition from window ≥ ~8; any
     corner-case miss is caught by the caller's sortedness check and repaired
     by the bitonic retry (the abort→retry protocol)."""
+    rows, lanes = key.shape
+    L = rows * lanes
     block = 1
     while block < 2 * window:
         block *= 2
-    block = min(block, key.shape[0] * key.shape[1])
+    block = min(block, L)
     key = block_bitonic_sort_keys(key, block, 0)
-    return block_bitonic_sort_keys(key, block, block // 2)
+    if block >= L:
+        return key
+    # shifted merge pass: rotate so the shifted grid aligns, freeze the
+    # wrap block (its halves belong to the array's two ends), merge, rotate
+    # back — same structure as block_bitonic_sort_keys' shifted pass
+    rot = block // 2
+    key = lroll(key, rot)
+    live = linear_iota(key.shape) < jnp.int32(L - block)
+    merged = block_merge_keys(key, block)
+    key = jnp.where(live, merged, key)
+    return lroll(key, L - rot)
 
 
 def odd_even_passes_keys(key, passes: int):

@@ -54,25 +54,54 @@ def _exclusive_scan(counts):
                             jnp.cumsum(counts)[:-1]])
 
 
-def _bucketize(keys, active, ndev, cap, pad_value):
-    """Sort local keys by destination device and pack into (ndev, cap)
-    padded send buckets.  Returns (buckets, dropped_count, active_sum)."""
+def _bucketize_by(keys, dest, active, nbuckets, cap, pad_value):
+    """Sort local keys by a precomputed bucket index and pack into
+    (nbuckets, cap) padded send buckets.  Returns (buckets, dropped_count,
+    active_sum)."""
     n = keys.shape[0]
-    dest = jnp.where(active, murmur32(keys) & (ndev - 1), ndev)
+    dest = jnp.where(active, dest, nbuckets)
     dest_s, keys_s = lax.sort_key_val(dest, keys, is_stable=True)
-    counts = jnp.zeros((ndev + 1,), jnp.int32).at[dest].add(1)
+    counts = jnp.zeros((nbuckets + 1,), jnp.int32).at[dest].add(1)
     offsets = _exclusive_scan(counts)
     pos = jnp.arange(n, dtype=jnp.int32) - offsets[dest_s]
-    ok = (pos < cap) & (dest_s < ndev)
-    slot = jnp.where(ok, dest_s * cap + pos, ndev * cap)
-    buf = jnp.full((ndev * cap,), pad_value, jnp.int32)
+    ok = (pos < cap) & (dest_s < nbuckets)
+    slot = jnp.where(ok, dest_s * cap + pos, nbuckets * cap)
+    buf = jnp.full((nbuckets * cap,), pad_value, jnp.int32)
     buf = buf.at[slot].set(keys_s, mode="drop")
     dropped = jnp.sum(active, dtype=jnp.int64) - jnp.sum(ok, dtype=jnp.int64)
     act_sum = jnp.sum(jnp.where(active, keys, 0).astype(jnp.int64))
-    return buf.reshape(ndev, cap), dropped, act_sum
+    return buf.reshape(nbuckets, cap), dropped, act_sum
 
 
-def _detect_hot_keys(keys, active, axis):
+def _bucketize(keys, active, ndev, cap, pad_value):
+    """Pack local keys into per-destination-device send buckets (flat 1-D
+    mesh: destination = hash & (ndev-1))."""
+    return _bucketize_by(keys, murmur32(keys) & (ndev - 1), active,
+                         ndev, cap, pad_value)
+
+
+def _exchange_hier(keys, active, ndev, hosts, chips, cap1, cap2, pad_value):
+    """Two-stage hierarchical repartition over a ("host", "chip") mesh —
+    SURVEY.md §5's hierarchical partitioning: the chip-level pass rides ICI
+    before the host-level pass crosses DCN.  Destination device for key k is
+    d = murmur(k) & (ndev-1), laid out d = h·chips + c under
+    P(("host","chip")) row sharding.  Stage 1 exchanges along "chip" keyed
+    by c (after it, local chip c holds everything this host sends to chip
+    index c anywhere); stage 2 exchanges along "host" keyed by h.  Peer
+    count per device drops from ndev-1 to (chips-1) + (hosts-1), and only
+    stage 2 leaves the host.  Returns (received_keys, dropped)."""
+    dest = murmur32(keys) & (ndev - 1)
+    buf1, drop1, _ = _bucketize_by(keys, dest % chips, active,
+                                   chips, cap1, pad_value)
+    r1 = lax.all_to_all(buf1, "chip", split_axis=0, concat_axis=0).reshape(-1)
+    act1 = r1 != pad_value
+    dest_h = (murmur32(r1) & (ndev - 1)) // chips   # recomputed, not shipped
+    buf2, drop2, _ = _bucketize_by(r1, dest_h, act1, hosts, cap2, pad_value)
+    r2 = lax.all_to_all(buf2, "host", split_axis=0, concat_axis=0).reshape(-1)
+    return r2, drop1 + drop2
+
+
+def _detect_hot_keys(keys, active, axis, ndev):
     """Sampled global heavy-hitter set for one relation side: ascending
     (HOT_CAP,) array padded with R_PAD sentinels.  The sampled-histogram
     analog of the reference's oversized-partition threshold test
@@ -80,7 +109,6 @@ def _detect_hot_keys(keys, active, axis):
     sample = jnp.where(active[:SAMPLE_PER_DEV], keys[:SAMPLE_PER_DEV], 0)
     allsamp = lax.all_gather(sample, axis).reshape(-1)
     total = allsamp.shape[0]
-    ndev = lax.axis_size(axis)
     s = jnp.sort(allsamp)
     is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]])
     run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
@@ -127,8 +155,12 @@ class DistResult(NamedTuple):
     num_hot: jax.Array
 
 
-def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling, axis="x"):
-    """Per-device body (runs under shard_map)."""
+def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling,
+                     axis="x", hier=None):
+    """Per-device body (runs under shard_map).  ``hier`` is None for the
+    flat 1-D exchange, or (hosts, chips) for the two-stage hierarchical
+    exchange over a ("host", "chip") mesh (axis is then the axis-name
+    tuple, used for the reductions)."""
     r_active = rk != R_PAD
     s_active = sk != S_PAD
     in_sum_r = lax.psum(jnp.sum(jnp.where(r_active, rk, 0).astype(jnp.int64)), axis)
@@ -138,8 +170,8 @@ def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling, axis="x"):
         # psum(count_R(k)) * psum(count_S(k)) — two (HOT_CAP,) psums replace
         # the reference's cooperative re-partitioning of oversized partitions
         # (mc/src/parallel_radix_join.c:958-1055).
-        hot_set = _union_hot(_detect_hot_keys(rk, r_active, axis),
-                             _detect_hot_keys(sk, s_active, axis))
+        hot_set = _union_hot(_detect_hot_keys(rk, r_active, axis, ndev),
+                             _detect_hot_keys(sk, s_active, axis, ndev))
         size = hot_set.shape[0]
         num_hot = jnp.sum(hot_set != R_PAD, dtype=jnp.int32)
         r_hot = r_active & _is_member(rk, hot_set)
@@ -157,10 +189,19 @@ def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling, axis="x"):
         hot_sum = jnp.zeros((), jnp.int64)
         r_flow, s_flow = r_active, s_active
 
-    rbuf, r_drop, _ = _bucketize(rk, r_flow, ndev, cap_r, R_PAD)
-    sbuf, s_drop, _ = _bucketize(sk, s_flow, ndev, cap_s, S_PAD)
-    r_recv = lax.all_to_all(rbuf, axis, split_axis=0, concat_axis=0).reshape(-1)
-    s_recv = lax.all_to_all(sbuf, axis, split_axis=0, concat_axis=0).reshape(-1)
+    if hier is not None:
+        hosts, chips = hier
+        r_recv, r_drop = _exchange_hier(rk, r_flow, ndev, hosts, chips,
+                                        cap_r * hosts, cap_r * chips, R_PAD)
+        s_recv, s_drop = _exchange_hier(sk, s_flow, ndev, hosts, chips,
+                                        cap_s * hosts, cap_s * chips, S_PAD)
+    else:
+        rbuf, r_drop, _ = _bucketize(rk, r_flow, ndev, cap_r, R_PAD)
+        sbuf, s_drop, _ = _bucketize(sk, s_flow, ndev, cap_s, S_PAD)
+        r_recv = lax.all_to_all(rbuf, axis, split_axis=0,
+                                concat_axis=0).reshape(-1)
+        s_recv = lax.all_to_all(sbuf, axis, split_axis=0,
+                                concat_axis=0).reshape(-1)
 
     local_matches = _count_sorted(r_recv, s_recv)  # needs no pre-sort
 
@@ -178,13 +219,25 @@ def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling, axis="x"):
 def build_dist_join_fn(mesh: Mesh, n_r: int, n_s: int, *,
                        capacity_factor: float = 2.0,
                        skew_handling: bool = False):
-    """Compile-ready distributed join: (sharded rk, sharded sk) → DistResult."""
+    """Compile-ready distributed join: (sharded rk, sharded sk) → DistResult.
+    A 1-D mesh uses the flat all_to_all; a 2-D ("host", "chip") mesh uses
+    the two-stage hierarchical exchange (ICI pass before the DCN pass)."""
     ndev = mesh.devices.size
     cap_r = max(8, int(capacity_factor * n_r / (ndev * ndev)) + 8)
     cap_s = max(8, int(capacity_factor * n_s / (ndev * ndev)) + 8)
-    body = functools.partial(_dist_join_local, ndev=ndev, cap_r=cap_r,
-                             cap_s=cap_s, skew_handling=skew_handling)
-    fn = shard_map(body, mesh=mesh, in_specs=(P("x"), P("x")),
+    if mesh.devices.ndim == 2:
+        hosts, chips = mesh.devices.shape
+        axis = tuple(mesh.axis_names)
+        body = functools.partial(_dist_join_local, ndev=ndev, cap_r=cap_r,
+                                 cap_s=cap_s, skew_handling=skew_handling,
+                                 axis=axis, hier=(hosts, chips))
+        spec = P(axis)
+    else:
+        body = functools.partial(_dist_join_local, ndev=ndev, cap_r=cap_r,
+                                 cap_s=cap_s, skew_handling=skew_handling,
+                                 axis=mesh.axis_names[0])
+        spec = P(mesh.axis_names[0])
+    fn = shard_map(body, mesh=mesh, in_specs=(spec, spec),
                    out_specs=DistResult(P(), P(), P(), P(), P(), P()))
     return jax.jit(fn)
 
@@ -203,14 +256,18 @@ def distributed_join(r: Relation, s: Optional[Relation],
     """Host entry: shard, repartition, join, reduce. Emits reference-schema
     metrics plus distributed extras."""
     if mesh is None:
-        mesh = make_mesh(cfg.mesh_shape or ())
+        shape = cfg.mesh_shape or ()
+        names = ("host", "chip") if len(shape) == 2 else ("x",)
+        mesh = make_mesh(shape, names)
     ndev = mesh.devices.size
+    spec = P(tuple(mesh.axis_names)) if mesh.devices.ndim == 2 \
+        else P(mesh.axis_names[0])
     timer = PhaseTimer()
     rk = _pad_to(r.keys, ndev, R_PAD)
     sk = _pad_to(s.keys if s is not None else jnp.zeros((ndev,), jnp.int32),
                  ndev, S_PAD)
-    rk = jax.device_put(rk, NamedSharding(mesh, P("x")))
-    sk = jax.device_put(sk, NamedSharding(mesh, P("x")))
+    rk = jax.device_put(rk, NamedSharding(mesh, spec))
+    sk = jax.device_put(sk, NamedSharding(mesh, spec))
     fn = build_dist_join_fn(mesh, rk.shape[0], sk.shape[0],
                             capacity_factor=cfg.shuffle_capacity_factor,
                             skew_handling=cfg.skew_handling)
@@ -223,6 +280,8 @@ def distributed_join(r: Relation, s: Optional[Relation],
                     totalMatches=int(res.matches))
     m.hashBuildTimeInMicroseconds = timer.total()
     m.extra["nDevices"] = ndev
+    m.extra["meshShape"] = list(mesh.devices.shape)
+    m.extra["hierarchical"] = mesh.devices.ndim == 2
     m.extra["droppedR"] = int(res.dropped_r)
     m.extra["droppedS"] = int(res.dropped_s)
     m.extra["hotKeys"] = int(res.num_hot)

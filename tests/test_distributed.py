@@ -74,6 +74,36 @@ def test_uneven_size_padding():
     assert m.totalMatches == N + 7  # S=1..N+7 all present in R=perm(1..N+13)
 
 
+# ---------------------------------------------------------------------------
+# Hierarchical 2-stage exchange over a ("host", "chip") mesh (SURVEY.md §5:
+# DCN-level pass after the ICI-level pass)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_hierarchical_matches_flat(shape):
+    """The two-stage exchange must reproduce the flat all_to_all result
+    exactly on every distribution."""
+    for dist, kw in [(Distribution.SHUFFLE, {}),
+                     (Distribution.UNIFORM, dict(distinct_keys=N // 2))]:
+        cfg2 = cfgs(data_distr=dist, mesh_shape=shape, **kw)
+        r, s = build_relations(cfg2)
+        flat = distributed_join(r, s, cfgs(data_distr=dist, **kw))
+        hier = distributed_join(r, s, cfg2)
+        assert hier.totalMatches == flat.totalMatches
+        assert hier.extra["hierarchical"] and not flat.extra["hierarchical"]
+        assert hier.extra["droppedR"] == 0 and hier.extra["droppedS"] == 0
+        assert hier.conserved
+
+
+def test_hierarchical_skew_handling():
+    cfg = cfgs(data_distr=Distribution.ZIPF, distinct_keys=N // 16,
+               zipf_param=1.2, mesh_shape=(2, 4), skew_handling=True)
+    r, s = build_relations(cfg)
+    m = distributed_join(r, s, cfg)
+    assert m.totalMatches == reference_match_count(r.keys, s.keys)
+    assert m.extra["droppedR"] == 0 and m.extra["hotKeys"] > 0
+
+
 def test_mesh_construction():
     mesh = make_mesh((8,))
     assert mesh.devices.size == 8

@@ -41,27 +41,57 @@ from .common import (finish_metrics, pallas_metrics, resolve_relations,
                      use_pallas_engine)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _partition_build(keys: jax.Array, bits: int, hashed: bool):
-    res = partition.radix_partition(keys, bits, hashed=hashed, sort_within=True)
-    composite = res.digits.astype(jnp.int64) << 32 | res.keys.astype(jnp.int64)
-    return (composite, res.hist,
-            jnp.sum(res.keys.astype(jnp.int64)),
+def _megakernel_sorter(n: int, interpret: bool):
+    """int32 global sort via the Pallas bitonic megakernels (2.4x XLA's
+    jnp.sort at 2^27 on v5e); MAXI32 padding sorts to the tail and is
+    sliced off."""
+    from .pallas_backend import DEFAULT_TILE, to_tiles_2d_pow2
+    from ..ops.pallas.join_kernels import global_sort_tiles
+
+    def sorter(keys):
+        r2d = global_sort_tiles(to_tiles_2d_pow2(keys, DEFAULT_TILE),
+                                tile=DEFAULT_TILE, interpret=interpret)
+        return r2d.reshape(-1)[:n]
+    return sorter
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _msb_stats(sorted_keys: jax.Array, bits: int):
+    res, _shift = partition.radix_partition_msb(sorted_keys, bits,
+                                                sorter=lambda k: k)
+    return (res.hist, jnp.sum(sorted_keys.astype(jnp.int64)),
             jnp.max(res.hist))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _probe(composite_r: jax.Array, skeys: jax.Array, bits: int, hashed: bool):
-    composite_s = partition.partition_composite(skeys, bits, hashed=hashed)
-    return probe.probe_sorted(composite_r, composite_s)
+def _partition_build(keys: jax.Array, bits: int, use_megakernel: bool):
+    """MSB radix partition+build: one int32 key sort (see
+    radix_partition_msb).  The sorted array is both the partitioned layout
+    and the per-partition search structure.  The megakernel sorter drives
+    Pallas from its own (big-stack) thread, so it runs outside the jit and
+    the digit/hist epilogue is jitted separately."""
+    if use_megakernel:
+        sorted_r = _megakernel_sorter(keys.shape[0], False)(keys)
+    else:
+        sorted_r = jax.jit(jnp.sort)(keys)
+    hist, ksum, max_part = _msb_stats(sorted_r, bits)
+    return sorted_r, hist, ksum, max_part
+
+
+@jax.jit
+def _probe(sorted_r: jax.Array, skeys: jax.Array):
+    # equal keys ⇔ equal partitions+slots under MSB digits, so the count
+    # runs on raw keys — no (digit << 32 | key) composite needed
+    return probe.probe_sorted(sorted_r, skeys)
 
 
 def radix_join(r: Relation, s: Optional[Relation] = None,
-               cfg: JoinConfig = JoinConfig(), *, hashed: bool = False) -> JoinMetrics:
+               cfg: JoinConfig = JoinConfig()) -> JoinMetrics:
     """Radix join with cfg.radix_bits total fanout bits (NUM_RADIX_BITS=14,
-    mc/src/prj_params.h:15-22).  `hashed=True` partitions on murmur-mixed
-    bits (breaks key-order correlation, as a hash join must when keys are
-    not dense)."""
+    mc/src/prj_params.h:15-22), MSB digit convention (Wisconsin's
+    RadixPartitioner, partitioner.cpp:443-520).  Hash-bit partitioning for
+    placement lives in the distributed engine (murmur32 all_to_all routing);
+    single-device partitioning sorts, so digit choice only labels the
+    histogram."""
     if use_pallas_engine(cfg, s):
         import time
 
@@ -81,13 +111,14 @@ def radix_join(r: Relation, s: Optional[Relation] = None,
         m.extra["numPasses"] = cfg.radix_passes
         return m
     rkeys, skeys = resolve_relations(r, s, cfg)
+    use_mk = (cfg.backend != "xla" and jax.default_backend() != "cpu"
+              and rkeys.shape[0] >= (1 << 17))
     timer = PhaseTimer()
-    composite_r, hist, in_sum, max_part = timer.timed(
-        "build", _partition_build, rkeys, cfg.radix_bits, hashed)
+    sorted_r, hist, in_sum, max_part = timer.timed(
+        "build", _partition_build, rkeys, cfg.radix_bits, use_mk)
     matches = None
     if skeys is not None:
-        matches = int(timer.timed("probe", _probe, composite_r, skeys,
-                                  cfg.radix_bits, hashed))
+        matches = int(timer.timed("probe", _probe, sorted_r, skeys))
     m = JoinMetrics(algo="radix", rSize=cfg.r_size,
                     transactionSize=cfg.transaction_size,
                     probeLength=cfg.probe_length,

@@ -60,6 +60,51 @@ def radix_partition(keys: jax.Array, bits: int, shift: int = 0, *,
     return PartitionResult(out_keys, out_digits, hist, exclusive_scan(hist))
 
 
+def bit_length(x: jax.Array) -> jax.Array:
+    """Traced integer bit length of a non-negative int32 scalar (exact —
+    no float log2 rounding at powers of two)."""
+    x = x.astype(jnp.int32)
+    bl = jnp.zeros((), jnp.int32)
+    for s in (16, 8, 4, 2, 1):
+        hi = x >> s
+        take = hi > 0
+        bl = bl + jnp.where(take, s, 0)
+        x = jnp.where(take, hi, x)
+    return bl + (x > 0).astype(jnp.int32)
+
+
+def radix_partition_msb(keys: jax.Array, bits: int, *, sorter=jnp.sort):
+    """MSB radix partition via a plain key sort.
+
+    The reference's Wisconsin partitioner is MSB multi-pass radix
+    (mc/wisconsin-src/partitioner.cpp:443-520).  With digits taken from the
+    key's top `bits` (shift = bit_length(max key) - bits), ascending key
+    order IS partition-contiguous order with keys ascending within every
+    partition — so the histogram → prefix-sum → scatter pipeline PLUS the
+    per-partition bucket-chaining build (parallel_radix_join.c:559-627,
+    :231-283) collapse into one int32 key sort.  That keeps the hot loop in
+    the 32-bit sorting-network domain (the Pallas global-sort megakernel on
+    TPU) instead of a twice-the-bandwidth int64 composite sort.
+
+    Returns (PartitionResult, shift): shift is traced (derived from the data
+    maximum), digits/hist describe the MSB partitions.
+    """
+    fanout = 1 << bits
+    n = keys.shape[0]
+    out_keys = sorter(keys)
+    shift = jnp.maximum(bit_length(jnp.max(out_keys[-1:])) - bits, 0)
+    digits = ((out_keys >> shift) & (fanout - 1)).astype(jnp.int32)
+    # sorted keys ⇒ the histogram is searchsorted diffs at digit boundaries
+    # (O(fanout·log n)) — an XLA scatter-add histogram serializes on TPU and
+    # would dominate the whole partition.  The last boundary fanout<<shift
+    # can overflow int32, so it is replaced by n.
+    bounds = (jnp.arange(1, fanout, dtype=jnp.int32) << shift).astype(jnp.int32)
+    cum = jnp.searchsorted(out_keys, bounds, side="left").astype(jnp.int32)
+    hist = jnp.diff(jnp.concatenate([jnp.zeros((1,), jnp.int32), cum,
+                                     jnp.full((1,), n, jnp.int32)]))
+    return PartitionResult(out_keys, digits, hist, exclusive_scan(hist)), shift
+
+
 def partition_composite(keys: jax.Array, bits: int, shift: int = 0, *,
                         hashed: bool = False) -> jax.Array:
     """(digit << 32 | key) composite for probing a sorted-within partitioned

@@ -84,6 +84,29 @@ def test_radix_partition_histogram_offsets():
         np.asarray(res.offsets), np.concatenate([[0], np.cumsum(np.asarray(res.hist))[:-1]]))
 
 
+def test_radix_partition_msb_contiguous():
+    """MSB digits: sorted-by-key order is partition-contiguous, hist counts
+    the top-bit buckets, shift adapts to the data maximum."""
+    keys = jnp.array([513, 2, 258, 1, 257, 514, 1023], dtype=jnp.int32)
+    res, shift = partition.radix_partition_msb(keys, bits=2)
+    assert int(shift) == 8  # bit_length(1023)=10, minus 2
+    np.testing.assert_array_equal(np.asarray(res.keys),
+                                  np.sort(np.asarray(keys)))
+    # digits of sorted keys must be non-decreasing (contiguous partitions)
+    d = np.asarray(res.digits)
+    assert (np.diff(d) >= 0).all()
+    np.testing.assert_array_equal(np.asarray(res.hist),
+                                  np.bincount(d, minlength=4))
+    assert int(res.hist.sum()) == keys.shape[0]
+
+
+def test_bit_length_exact():
+    for v, want in [(0, 0), (1, 1), (2, 2), (3, 2), (4, 3), (255, 8),
+                    (256, 9), (1 << 24, 25), ((1 << 24) + 1, 25),
+                    ((1 << 31) - 1, 31)]:
+        assert int(partition.bit_length(jnp.int32(v))) == want, v
+
+
 def test_probe_sorted_multiset():
     r = jnp.array([1, 2, 2, 3, 7], dtype=jnp.int32)
     s = jnp.array([2, 2, 7, 9], dtype=jnp.int32)

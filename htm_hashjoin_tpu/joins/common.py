@@ -135,6 +135,67 @@ def use_pallas_engine(cfg: JoinConfig, s: Optional[Relation]) -> bool:
     return jax.default_backend() != "cpu"
 
 
+def use_pallas_engine_build(cfg: JoinConfig) -> bool:
+    """Banded-engine routing for BUILD-ONLY runs (the reference's default
+    ENABLE_PROBE=off binaries, config.h:4).  Gated on generator-certified
+    unique keys: there the scatter builds lose/spill nothing, so the
+    sorted-tile artifact is observationally identical and ~10-20x faster;
+    duplicate distributions keep the XLA scatter paths, whose loss (nocc)
+    and spill (atomic/htm) accounting is the reference's semantics."""
+    if cfg.backend == "xla" or cfg.mesh_shape:
+        return False
+    if not keys_are_unique(cfg) or _max_key_bound(cfg) >= _PACK_LIMIT:
+        return False
+    if cfg.backend == "pallas":
+        return True
+    return jax.default_backend() != "cpu"
+
+
+def route_unique_pallas(cfg: JoinConfig, s: Optional[Relation]) -> bool:
+    """Routing predicate for the identity-hash builds (atomic/nocc): banded
+    engine only on generator-certified unique keys, probing or not."""
+    if s is not None and cfg.enable_probe:
+        return keys_are_unique(cfg) and use_pallas_engine(cfg, s)
+    return use_pallas_engine_build(cfg)
+
+
+def pallas_unique_join(algo: str, r: Relation, s: Optional[Relation],
+                       cfg: JoinConfig) -> JoinMetrics:
+    """Banded engine for the identity-hash builds (atomic/nocc) on
+    generator-certified unique keys.  With unique keys the open-addressing
+    table at 2x load has no losses and no budget exhaustion (keys 1..n map
+    to distinct slots under key & (2n-1)), so conflictCount and
+    failedTransactions are identically 0 on both formulations and the
+    sorted-tile engine is exact.  Duplicate distributions never reach here
+    (use_pallas_engine* gate on keys_are_unique)."""
+    import time
+
+    from .pallas_backend import banded_build_pipelined, banded_join_pipelined
+
+    window, presort = pallas_plan(cfg)
+    interpret = jax.default_backend() == "cpu"
+    probing = s is not None and cfg.enable_probe
+    t0 = time.perf_counter()
+    if probing:
+        out = banded_join_pipelined(r.keys, s.keys, locality_window=window,
+                                    presort=presort, unique_both=True,
+                                    interpret=interpret)
+    else:
+        out = banded_build_pipelined(r.keys, locality_window=window,
+                                     presort=presort, interpret=interpret)
+    elapsed_us = (time.perf_counter() - t0) * 1e6
+    m = JoinMetrics(algo=algo, rSize=cfg.r_size,
+                    transactionSize=cfg.transaction_size,
+                    probeLength=cfg.probe_length,
+                    inputSum=out.input_sum, outputSum=out.output_sum,
+                    hashBuildTimeInMicroseconds=elapsed_us)
+    if probing:
+        m.totalMatches = out.matches
+    m.extra["backend"] = "pallas_banded"
+    m.extra["resorted"] = out.resorted
+    return m
+
+
 def pallas_plan(cfg: JoinConfig):
     """(locality_window, presort) for the banded engine.  Bounded-
     displacement distributions take an optimistic in-tile sorter (odd-even

@@ -34,7 +34,8 @@ from ..utils.metrics import JoinMetrics
 from ..utils.timing import PhaseTimer
 from .common import (SpillState, finish_metrics, htm_num_buckets,
                      keys_are_unique, pallas_metrics, pallas_plan,
-                     resolve_relations, use_pallas_engine)
+                     resolve_relations, use_pallas_engine,
+                     use_pallas_engine_build)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -73,6 +74,8 @@ def htm_join(r: Relation, s: Optional[Relation] = None,
              cfg: JoinConfig = JoinConfig()) -> JoinMetrics:
     if use_pallas_engine(cfg, s):
         return _htm_join_pallas(r, s, cfg)
+    if (s is None or not cfg.enable_probe) and use_pallas_engine_build(cfg):
+        return _htm_build_pallas(cfg, r)
     rkeys, skeys = resolve_relations(r, s, cfg)
     timer = PhaseTimer()
     num_buckets = htm_num_buckets(cfg.r_size)
@@ -100,6 +103,23 @@ def htm_join(r: Relation, s: Optional[Relation] = None,
             [float(x) for x in chunk_fail], cfg.transaction_size)
         m.extra["adaptiveTransactionSizeFinal"] = trace[-1] if trace else cfg.transaction_size
     return finish_metrics(m, timer, matches)
+
+
+def _htm_build_pallas(cfg: JoinConfig, r: Relation) -> JoinMetrics:
+    """Build-only banded path (ENABLE_PROBE off, the reference's default
+    binary): the optimistic tile sort is the whole build; violations map to
+    failedTransactions, the bitonic retry to TM_RETRY."""
+    import time
+
+    from .pallas_backend import banded_build_pipelined
+
+    window, presort = pallas_plan(cfg)
+    interpret = jax.default_backend() == "cpu"
+    t0 = time.perf_counter()
+    out = banded_build_pipelined(r.keys, locality_window=window,
+                                 presort=presort, interpret=interpret)
+    elapsed_us = (time.perf_counter() - t0) * 1e6
+    return pallas_metrics(cfg, "htm", out, elapsed_us, None)
 
 
 def _htm_join_pallas(r: Relation, s: Relation, cfg: JoinConfig) -> JoinMetrics:

@@ -274,6 +274,47 @@ def enqueue_banded_join(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                                interpret=False)
 
 
+def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
+                           locality_window: Optional[int] = None,
+                           presort: bool = False,
+                           interpret: bool = False) -> BandedJoinOutcome:
+    """Build-only banded pipeline (the reference's default ENABLE_PROBE=off
+    grids, config.h:4): produce the probe-able sorted-tile artifact with ONE
+    host readback.  Locality plans take the optimistic bounded-displacement
+    sorter (violations = the abort count, bitonic retry = TM_RETRY);
+    unbounded distributions take the global-sort megakernel so the artifact
+    has disjoint tile ranges, same as the build half of the presort join
+    plan.  matches is 0 (no probe side)."""
+    if presort:
+        from ..ops.pallas.join_kernels import global_sort_tiles
+        r2d = to_tiles_2d_pow2(rkeys, tile)
+        sorted2d = global_sort_tiles(r2d, tile=tile, interpret=interpret)
+        viols = jnp.zeros((1,), jnp.int64)
+        optimistic = False
+    else:
+        r2d = to_tiles_2d(rkeys, tile)
+        method, passes = _sort_method(locality_window, tile)
+        optimistic = method != "bitonic"
+        sorted2d, stats = sort_tiles(r2d, tile=tile, method=method,
+                                     passes=max(1, passes),
+                                     interpret=interpret)
+        viols = stats[:, 2].astype(jnp.int64) if optimistic \
+            else jnp.zeros((1,), jnp.int64)
+    out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
+    in_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
+    bundle = np.asarray(jnp.stack([_sum_i64(viols), out_sum, in_sum]))
+    resorted = False
+    if optimistic and bundle[0] > 0:    # abort → exact retry
+        sorted2d, _ = sort_tiles(r2d, tile=tile, method="bitonic",
+                                 interpret=interpret)
+        out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
+        bundle = np.asarray(jnp.stack([jnp.asarray(bundle[0]), out_sum,
+                                       in_sum]))
+        resorted = True
+    return BandedJoinOutcome(0, int(bundle[0]), 0, int(bundle[1]),
+                             resorted, int(bundle[2]))
+
+
 def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                           tile: int = DEFAULT_TILE,
                           locality_window: Optional[int] = None,

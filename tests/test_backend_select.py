@@ -102,6 +102,54 @@ def test_forced_pallas_matches_xla_sortmerge():
     assert mp.totalMatches == mx.totalMatches == N
 
 
+def test_forced_pallas_build_only_htm():
+    """Build-only (ENABLE_PROBE off) routes through the banded build on
+    unique keys; metrics must agree with the XLA scatter build."""
+    import pytest
+    for dist, kw in [(Distribution.SORTED, {}),
+                     (Distribution.LOCAL_SHUFFLE, dict(shuffle_range=16)),
+                     (Distribution.SHUFFLE, {})]:
+        cfg_x = _cfg(data_distr=dist, enable_probe=False, backend="xla", **kw)
+        cfg_p = _cfg(data_distr=dist, enable_probe=False, backend="pallas", **kw)
+        r, s = build_relations(cfg_x)
+        mx = htm_join(r, s, cfg_x)
+        mp = htm_join(r, s, cfg_p)
+        assert mp.extra["backend"] == "pallas_banded", dist
+        assert mp.inputSum == mp.outputSum == mx.inputSum, dist
+        assert mp.totalMatches is None and mx.totalMatches is None
+
+
+def test_forced_pallas_atomic_nocc_unique():
+    """atomic/nocc route through the banded engine on certified-unique keys
+    (probing and build-only); on duplicate distributions they must stay on
+    the XLA scatter path (loss/spill semantics)."""
+    from htm_hashjoin_tpu.joins import atomic_join, nocc_join
+    for join, algo in ((atomic_join, "atomic"), (nocc_join, "nocc")):
+        for probe in (True, False):
+            cfg_x = _cfg(algo=Algo(algo), enable_probe=probe, backend="xla")
+            cfg_p = _cfg(algo=Algo(algo), enable_probe=probe, backend="pallas")
+            r, s = build_relations(cfg_x)
+            mx = join(r, s, cfg_x)
+            mp = join(r, s, cfg_p)
+            assert mp.extra["backend"] == "pallas_banded", (algo, probe)
+            assert mp.inputSum == mp.outputSum == mx.inputSum
+            assert mp.conflictCount == mx.conflictCount == 0
+            assert mp.totalMatches == mx.totalMatches  # None when build-only
+        # duplicates: never routed to the banded engine (nocc must keep
+        # losing tuples there, atomic must keep spill accounting)
+        cfg_dup = _cfg(algo=Algo(algo), data_distr=Distribution.UNIFORM,
+                       distinct_keys=N // 4, backend="pallas")
+        r, s = build_relations(cfg_dup)
+        m = join(r, s, cfg_dup)
+        assert "backend" not in m.extra, algo
+    # the nocc loss invariant survives the routing change
+    cfg = _cfg(algo=Algo.NOCC, data_distr=Distribution.UNIFORM,
+               distinct_keys=N // 4, backend="pallas")
+    r, s = build_relations(cfg)
+    m = nocc_join(r, s, cfg)
+    assert m.outputSum < m.inputSum
+
+
 def test_forced_pallas_matches_xla_npo():
     from htm_hashjoin_tpu.joins import npo_join
     cfg_x = _cfg(algo=Algo.NPO, backend="xla")

@@ -1,0 +1,147 @@
+"""Side-by-side comparison of refreshed TPU experiment logs against the
+reference's committed logs (dev tool; output: experiments/results_tpu/COMPARISON.md).
+
+Pairing: both logs follow the same experiment-script order (our grids.py
+mirrors experiments/*.sh point for point), so each line is annotated with its
+grid coordinates by re-enumerating the grid generator — ours at --scale 24,
+the reference's at its pinned 2^27 — and points are joined on
+(algo, transactionSize, window).  Sizes differ, so the comparison metric is
+throughput (rSize / time); our per-point wall time includes a fixed ~25-50 ms
+host<->TPU tunnel sync that 2^24 does not amortize, so the ratios UNDERSTATE
+the TPU engine at reference scale.
+
+Reference PRO points (motivation grid) are text-format (mc driver); their
+TOTAL-TIME-USECS lines are parsed directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+from dataclasses import replace
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from htm_hashjoin_tpu.harness.grids import GRIDS  # noqa: E402
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OURS_DIR = os.path.join(HERE, "results_tpu")
+REF_DIR = "/root/reference/experiments"
+
+GRID_REF_LOG = {
+    "motivation": "new_backup/motivation_log1",
+    "AtomicsVsHTMVsNoCC": "new_backup/AtomicsVsHTMVsNoCC_log1",
+    "SizeToAbortsAndTimeSorted": "new_backup/SizeToAbortsAndTimeSorted_log1",
+    "SizeToAbortsAndTimeShuffled": "new_backup/SizeToAbortsAndTimeShuffled_log1",
+    "TSizeAndShuffleWindowstoTime": "new_backup/TSizeAndShuffleWindowstoTime_log1",
+    "adaptive": "new_backup/adaptive_log1",
+    "adaptive2": "new_backup/adaptive2_log1",
+    "probe": "new_backup/probe_log1",
+    "track": "old/track_log",
+}
+
+
+def coords(grid: str, scale: int):
+    """Grid coordinates in script order: (algo, tSize, window, dist)."""
+    out = []
+    for cfg in GRIDS[grid](scale):
+        w = cfg.shuffle_range if cfg.data_distr.value in (
+            "local_shuffle", "pk_lshuffle") else None
+        out.append((cfg.algo.value, cfg.transaction_size, w,
+                    cfg.data_distr.value))
+    return out
+
+
+def parse_json_lines(path: str):
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip().startswith("{")]
+
+
+def parse_ref_motivation(path: str):
+    """motivation_log: PRO text blocks (window sweep) then nocc/atomic/htm
+    JSON lines.  Returns list of time_us in script order."""
+    times = []
+    txt = open(path).read()
+    for m in re.finditer(r"TOTAL-TIME-USECS.*?\n\s*([\d.]+)", txt):
+        times.append(float(m.group(1)))
+    for line in txt.splitlines():
+        if line.strip().startswith("{"):
+            times.append(float(json.loads(line)["hashBuildTimeInMicroseconds"]))
+    return times
+
+
+def fmt_row(cells):
+    return "| " + " | ".join(str(c) for c in cells) + " |"
+
+
+def main() -> int:
+    out = ["# TPU engine vs reference: per-grid-point comparison",
+           "",
+           "Ours: `experiments/results_tpu/<grid>_log2` (warm repetition), "
+           "TPU v5e single chip, one process per grid; per-point wall time "
+           "includes one host<->TPU tunnel sync (~25-50 ms).",
+           "Reference: committed logs at rSize = 2^27 on the paper's TSX "
+           "machine (`experiments/new_backup/*_log1`).  Metric: throughput "
+           "Mtuples/s = rSize / wall; `x` = ours / reference.",
+           ""]
+    summary = []
+    for grid, ref_rel in GRID_REF_LOG.items():
+        ours_path = os.path.join(OURS_DIR, f"{grid}_log2")
+        ref_path = os.path.join(REF_DIR, ref_rel)
+        if not (os.path.exists(ours_path) and os.path.exists(ref_path)):
+            continue
+        ours = parse_json_lines(ours_path)
+        our_scale = int(ours[0]["rSize"]).bit_length() - 1
+        ours_c = coords(grid, our_scale)
+        if grid == "motivation":
+            ref_times = parse_ref_motivation(ref_path)
+        else:
+            ref_times = [float(d["hashBuildTimeInMicroseconds"])
+                         for d in parse_json_lines(ref_path)]
+        ref_c = coords(grid, 27)
+        ref_by_key = {}
+        for c, t in zip(ref_c, ref_times):
+            ref_by_key.setdefault(c, t)
+        out += [f"## {grid}", "",
+                fmt_row(["algo", "tSize", "window", "ref µs (2^27)",
+                         "ref Mt/s", "ours µs", "ours Mt/s", "x"]),
+                fmt_row(["---"] * 8)]
+        ratios = []
+        for c, d in zip(ours_c, ours):
+            rt = ref_by_key.get(c)
+            if rt is None:
+                continue
+            ot = float(d["hashBuildTimeInMicroseconds"])
+            rmt = (1 << 27) / rt
+            omt = float(d["rSize"]) / ot
+            ratios.append(omt / rmt)
+            out.append(fmt_row([c[0], c[1], c[2] if c[2] is not None else "—",
+                                f"{rt:,.0f}", f"{rmt:.0f}",
+                                f"{ot:,.0f}", f"{omt:.0f}",
+                                f"{omt / rmt:.1f}x"]))
+        if ratios:
+            g = 1.0
+            for r in ratios:
+                g *= r
+            g **= 1.0 / len(ratios)
+            summary.append((grid, len(ratios), g))
+        out.append("")
+    head = ["## Summary (geometric-mean throughput ratio per grid)", "",
+            fmt_row(["grid", "paired points", "geomean x"]),
+            fmt_row(["---"] * 3)]
+    for grid, n, g in summary:
+        head.append(fmt_row([grid, n, f"{g:.1f}x"]))
+    out[4:4] = head + [""]
+    dest = os.path.join(OURS_DIR, "COMPARISON.md")
+    with open(dest, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(dest)
+    for grid, n, g in summary:
+        print(f"{grid:34s} {n:4d} points  geomean {g:.1f}x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

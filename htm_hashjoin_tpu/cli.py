@@ -19,10 +19,18 @@ from .data.generators import build_relations
 from .joins import DISPATCH
 
 
+# mc driver algorithm names (mc/src/main.c:292-301; RJ/PRH/PRHO alias PRO
+# in the reference fork) accepted alongside ours
+MC_ALGO_ALIASES = {"PRO": "radix", "RJ": "radix", "PRH": "radix",
+                   "PRHO": "radix", "NPO": "npo", "NPO_st": "npo_st"}
+
+
 def parse_args(argv=None):
     """Returns (JoinConfig, (profile_dir, want_throughput))."""
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--algo", default="htm", choices=[a.value for a in Algo])
+    p.add_argument("--algo", default="htm",
+                   choices=[a.value for a in Algo] + sorted(MC_ALGO_ALIASES),
+                   type=lambda v: MC_ALGO_ALIASES.get(v, v))
     p.add_argument("--rSize", type=int, default=1 << 20)
     p.add_argument("--sSize", type=int, default=None)
     p.add_argument("--transactionSize", type=int, default=16)

@@ -89,6 +89,15 @@ def test_cli_backend_flag(capsys):
     assert d["inputSum"] == d["outputSum"]
 
 
+def test_cli_mc_algo_aliases(capsys):
+    """mc driver names (PRO/RJ/PRH/PRHO/NPO/NPO_st, mc/src/main.c:292-301)
+    are accepted and dispatch to the equivalent algorithm."""
+    from htm_hashjoin_tpu.cli import main
+    main(["--algo", "RJ", "--rSize", str(1 << 12), "--dataDistr", "shuffle"])
+    d = json.loads(capsys.readouterr().out.strip().split("\n")[0])
+    assert d["algo"] == "radix" and d["totalMatches"] == 1 << 12
+
+
 def test_forced_pallas_matches_xla_sortmerge():
     from htm_hashjoin_tpu.joins import sortmerge_join
     cfg_x = _cfg(algo=Algo.SORTMERGE, data_distr=Distribution.SHUFFLE,

@@ -88,6 +88,7 @@ def main(argv=None) -> int:
 
     cfg, (profile_dir, want_throughput) = parse_args(argv)
     r, s = build_relations(cfg)
+    r.fence(), s.fence()   # generation is NOT part of the timed join phases
     ctx = contextlib.nullcontext()
     if profile_dir:
         from .utils.profiler import trace

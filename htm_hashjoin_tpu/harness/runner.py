@@ -26,6 +26,7 @@ def run_config(cfg: JoinConfig) -> str:
     contract, HTMHashBuild.hpp:417-449)."""
     from ..joins import DISPATCH
     r, s = build_relations(cfg)
+    r.fence(), s.fence()   # generation is NOT part of the timed join phases
     if cfg.mesh_shape:
         from ..parallel.dist_join import distributed_join
         metrics = distributed_join(r, s, cfg)

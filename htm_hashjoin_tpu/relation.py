@@ -47,6 +47,20 @@ class Relation:
     def to_numpy(self) -> np.ndarray:
         return np.asarray(self.keys)
 
+    def fence(self) -> "Relation":
+        """Host-sync the backing arrays (a one-element readback — on this
+        platform ``block_until_ready`` does not fence; only a readback
+        does).  Drivers call this after generation so the timed join phases
+        exclude generator compute, matching the reference's timer placement
+        (gettimeofday AFTER generate_data, main.cpp:113-118 vs
+        HTMHashBuild.hpp:93-94) — without it JAX async dispatch would bill
+        generation to the build phase."""
+        if self.num_tuples:
+            int(self.keys[0])
+            if self.payloads is not None:
+                int(self.payloads.reshape(-1)[0])
+        return self
+
     def tree_flatten(self):
         return (self.keys, self.payloads), self.assume_sorted
 

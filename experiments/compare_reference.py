@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 from htm_hashjoin_tpu.harness.grids import GRIDS  # noqa: E402
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-OURS_DIR = os.path.join(HERE, "results_tpu")
+OURS_DIR = sys.argv[1] if len(sys.argv) > 1 else os.path.join(HERE, "results_tpu")
 REF_DIR = "/root/reference/experiments"
 
 GRID_REF_LOG = {
@@ -79,7 +79,8 @@ def fmt_row(cells):
 def main() -> int:
     out = ["# TPU engine vs reference: per-grid-point comparison",
            "",
-           "Ours: `experiments/results_tpu/<grid>_log2` (warm repetition), "
+           f"Ours: `{os.path.relpath(OURS_DIR, os.path.dirname(HERE))}/"
+           "<grid>_log2` (warm repetition), "
            "TPU v5e single chip, one process per grid; per-point wall time "
            "includes one host<->TPU tunnel sync (~25-50 ms).",
            "Reference: committed logs at rSize = 2^27 on the paper's TSX "
@@ -113,7 +114,10 @@ def main() -> int:
             rt = ref_by_key.get(c)
             if rt is None:
                 continue
-            ot = float(d["hashBuildTimeInMicroseconds"])
+            # the reference's timed span covers build+retry+probe
+            # (HTMHashBuild.hpp:94..310), so ours counts both phases too
+            ot = float(d["hashBuildTimeInMicroseconds"]) + float(
+                d.get("probeTimeInMicroseconds", 0.0))
             rmt = (1 << 27) / rt
             omt = float(d["rSize"]) / ot
             ratios.append(omt / rmt)

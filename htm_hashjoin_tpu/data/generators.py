@@ -33,7 +33,9 @@ from ..config import Distribution, JoinConfig
 from ..relation import KEY_DTYPE, Relation
 
 
-def _key(seed: int, *salts: int) -> jax.Array:
+def _key(seed, *salts: int) -> jax.Array:
+    """PRNG key from a (possibly traced) seed — traced seeds keep grid
+    sweeps on one compiled program per shape."""
     k = jax.random.PRNGKey(seed)
     for s in salts:
         k = jax.random.fold_in(k, s)
@@ -50,76 +52,130 @@ def sorted_keys(n: int) -> jax.Array:
     return jnp.arange(1, n + 1, dtype=KEY_DTYPE)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def shuffled_keys(n: int, seed: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(0,))
+def shuffled_keys(n: int, seed: int = 0) -> jax.Array:
     """1..N globally permuted (DataGen.hpp:86-95: random_shuffle)."""
     return jax.random.permutation(_key(seed, 1), sorted_keys(n))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+# Quantized block sizes for the two-phase blocked stable sort below: only a
+# handful of distinct jit programs exist per shape, no matter how many window
+# values a grid sweeps (28 window values used to mean 28 tunnel compiles).
+_JITTER_BLOCKS = (256, 2048, 16384)
+
+
+def _jitter_block(window: int, n: int) -> Optional[int]:
+    for c in _JITTER_BLOCKS:
+        if 2 * window <= c < n:
+            return c
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("salt", "block"))
+def _jitter_sort(vals: jax.Array, window, seed, *, salt: int,
+                 block: Optional[int]) -> jax.Array:
+    """Stably sort vals by rank = position + U[0, window) — the bounded-window
+    local shuffle (displacement ≤ window).  window and seed are traced, so one
+    compile covers a whole window sweep.
+
+    When ``block`` is set, the global stable sort is computed as two batched
+    size-`block` stable sorts at offset block/2 — exact (bit-identical to the
+    global sort) because every element's displacement from its final position
+    is < window ≤ block/2, and ~6x faster on TPU than a full-length
+    sort_key_val at 2^27."""
+    n = vals.shape[0]
+    jitter = jax.random.randint(_key(seed, salt), (n,), 0,
+                                jnp.asarray(window, jnp.int32),
+                                dtype=jnp.int32)
+    rank = jnp.arange(n, dtype=jnp.int32) + jitter
+    if block is None:
+        return jax.lax.sort_key_val(rank, vals, is_stable=True)[1]
+
+    hi = jnp.iinfo(jnp.int32).max
+
+    def phase(r, v, off):
+        if off:
+            r = jnp.concatenate([jnp.full((off,), jnp.int32(-1)), r])
+            v = jnp.concatenate([jnp.zeros((off,), v.dtype), v])
+        pad = (-r.shape[0]) % block
+        if pad:
+            r = jnp.concatenate([r, jnp.full((pad,), hi, jnp.int32)])
+            v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
+        r2, v2 = jax.lax.sort_key_val(r.reshape(-1, block),
+                                      v.reshape(-1, block),
+                                      dimension=1, is_stable=True)
+        return r2.reshape(-1), v2.reshape(-1)
+
+    r1, v1 = phase(rank, vals, 0)
+    _, v2 = phase(r1, v1, block // 2)
+    return v2[block // 2: block // 2 + n]
+
+
 def local_shuffled_keys(n: int, window: int, seed: int) -> jax.Array:
     """1..N with bounded-window displacement — the locality axis of the whole
     study (DataGen.hpp:96-115: per-position swap within `local_shuffle_range`).
 
     TPU-native formulation: sort positions by `i + U[0, window)` jitter.  Each
     element moves at most `window` slots, preserving the reference's locality
-    radius while remaining a single fused sort instead of a serial swap loop.
-    """
+    radius while remaining a fused (blocked) sort instead of a serial swap
+    loop."""
     keys = sorted_keys(n)
     if window <= 1:
         return keys
-    jitter = jax.random.randint(_key(seed, 2), (n,), 0, window, dtype=jnp.int32)
-    rank = jnp.arange(n, dtype=jnp.int32) + jitter
-    _, out = jax.lax.sort_key_val(rank, keys, is_stable=True)
-    return out
+    return _jitter_sort(keys, window, seed, salt=2,
+                        block=_jitter_block(window, n))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0,))
+def _uniform_vals(n: int, distinct, seed) -> jax.Array:
+    vals = jax.random.randint(_key(seed, 3), (n,), 1,
+                              jnp.asarray(distinct, KEY_DTYPE) + 1,
+                              dtype=KEY_DTYPE)
+    return jnp.sort(vals)
+
+
 def uniform_keys(n: int, distinct: int, window: int, seed: int) -> jax.Array:
     """rand into [1, distinct], sorted, then local-window shuffle
     (DataGen.hpp:30-54)."""
-    vals = jax.random.randint(_key(seed, 3), (n,), 1, distinct + 1, dtype=KEY_DTYPE)
-    vals = jnp.sort(vals)
+    vals = _uniform_vals(n, distinct, seed)
     if window <= 1:
         return vals
-    jitter = jax.random.randint(_key(seed, 4), (n,), 0, window, dtype=jnp.int32)
-    rank = jnp.arange(n, dtype=jnp.int32) + jitter
-    _, out = jax.lax.sort_key_val(rank, vals, is_stable=True)
-    return out
+    return _jitter_sort(vals, window, seed, salt=4,
+                        block=_jitter_block(window, n))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0,))
+def _random_vals(n: int, seed) -> jax.Array:
+    vals = jax.random.randint(_key(seed, 5), (n,), 1,
+                              jnp.iinfo(jnp.int32).max, dtype=KEY_DTYPE)
+    return jnp.sort(vals)
+
+
 def random_keys(n: int, window: int, seed: int) -> jax.Array:
     """Full-positive-range rand, sorted, local shuffle (DataGen.hpp:55-71)."""
-    vals = jax.random.randint(_key(seed, 5), (n,), 1, jnp.iinfo(jnp.int32).max,
-                              dtype=KEY_DTYPE)
-    vals = jnp.sort(vals)
+    vals = _random_vals(n, seed)
     if window <= 1:
         return vals
-    jitter = jax.random.randint(_key(seed, 6), (n,), 0, window, dtype=jnp.int32)
-    rank = jnp.arange(n, dtype=jnp.int32) + jitter
-    _, out = jax.lax.sort_key_val(rank, vals, is_stable=True)
-    return out
+    return _jitter_sort(vals, window, seed, salt=6,
+                        block=_jitter_block(window, n))
 
 
 # ---------------------------------------------------------------------------
 # mc-generator relations (mc/src/generator.c)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
 def pk_keys(n: int, seed: int) -> jax.Array:
     """Primary-key relation: 1..N Knuth-shuffled (generator.c:240-260)."""
     return shuffled_keys(n, seed)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def pk_lshuffle_keys(n: int, window: int, seed: int) -> jax.Array:
     """This fork's addition: PK with windowed local shuffle
     (generator.c:262-282)."""
     return local_shuffled_keys(n, window, seed)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def fk_from_pk_keys(s_size: int, r_size: int, seed: int) -> jax.Array:
     """Foreign keys drawn by tiling the PK domain then shuffling
     (generator.c:458-491): every key 1..r_size appears floor or ceil of
@@ -129,13 +185,13 @@ def fk_from_pk_keys(s_size: int, r_size: int, seed: int) -> jax.Array:
     return jax.random.permutation(_key(seed, 7), tiled)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0,))
 def nonunique_keys(n: int, max_key: int, seed: int) -> jax.Array:
     """Random keys with duplicates (generator.c:493-509)."""
     return jax.random.randint(_key(seed, 8), (n,), 1, max_key + 1, dtype=KEY_DTYPE)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 3))
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def zipf_keys(n: int, alphabet_size: int, theta: float, seed: int) -> jax.Array:
     """Zipf(theta) over a permuted alphabet via CDF inversion
     (genzipf.c:97-158: lookup table + binary search per draw).

@@ -21,12 +21,31 @@ from ..data.generators import build_relations
 from .grids import GRIDS, RUNNER_ORDER
 
 
+# Generated relations reused across grid points that share generator inputs
+# (a tSize sweep regenerates nothing).  Two entries ≈ 2 GB HBM at 2^27 —
+# well within a single chip; the reference harness likewise regenerated only
+# when parameters changed between loop iterations.
+_GEN_CACHE: "dict[tuple, tuple]" = {}
+_GEN_CACHE_CAP = 2
+
+
+def _relations_for(cfg: JoinConfig):
+    key = (cfg.data_distr, cfg.r_size, cfg.s_size, cfg.distinct_keys,
+           cfg.shuffle_range, cfg.seed, cfg.zipf_param)
+    if key not in _GEN_CACHE:
+        if len(_GEN_CACHE) >= _GEN_CACHE_CAP:
+            _GEN_CACHE.pop(next(iter(_GEN_CACHE)))
+        r, s = build_relations(cfg)
+        r.fence(), s.fence()   # generation is NOT part of the timed phases
+        _GEN_CACHE[key] = (r, s)
+    return _GEN_CACHE[key]
+
+
 def run_config(cfg: JoinConfig) -> str:
     """One grid point → one JSON metrics line (the reference binaries' stdout
     contract, HTMHashBuild.hpp:417-449)."""
     from ..joins import DISPATCH
-    r, s = build_relations(cfg)
-    r.fence(), s.fence()   # generation is NOT part of the timed join phases
+    r, s = _relations_for(cfg)
     if cfg.mesh_shape:
         from ..parallel.dist_join import distributed_join
         metrics = distributed_join(r, s, cfg)

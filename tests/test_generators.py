@@ -76,3 +76,28 @@ def test_input_sum_oracle():
     """inputSum for a permutation of 1..N is N(N+1)/2."""
     r, _ = g.build_relations(JoinConfig(r_size=N, data_distr=Distribution.SHUFFLE))
     assert r.key_sum() == N * (N + 1) // 2
+
+
+@pytest.mark.parametrize("window,n", [(3, 1000), (64, 5000), (100, 4096),
+                                      (1024, 5000)])
+def test_blocked_jitter_sort_matches_global(window, n):
+    """The two-phase blocked stable sort must be bit-identical to the global
+    stable sort_key_val it replaces (valid because displacement < window <=
+    block/2)."""
+    from htm_hashjoin_tpu.data.generators import _jitter_block, _jitter_sort
+    vals = jnp.arange(1, n + 1, dtype=jnp.int32)
+    block = _jitter_block(window, n)
+    got = _jitter_sort(vals, window, 7, salt=2, block=block)
+    want = _jitter_sort(vals, window, 7, salt=2, block=None)
+    assert block is None or block >= 2 * window
+    assert jnp.array_equal(got, want)
+
+
+def test_jitter_sort_traced_window_one_compile():
+    """window/seed are traced: sweeping them must not grow the jit cache."""
+    from htm_hashjoin_tpu.data.generators import _jitter_sort
+    vals = jnp.arange(1, 2049, dtype=jnp.int32)
+    before = _jitter_sort._cache_size()
+    for w in (130, 200, 300, 511):
+        _jitter_sort(vals, w, w + 1, salt=2, block=2048)
+    assert _jitter_sort._cache_size() - before <= 1

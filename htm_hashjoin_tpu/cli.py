@@ -60,6 +60,32 @@ def parse_args(argv=None):
                    choices=["auto", "xla", "pallas"],
                    help="kernel backend (auto = banded Pallas engine on TPU "
                         "when the plan qualifies)")
+    # mc getopt_long compatibility surface (mc/src/main.c:492-608): the mc
+    # driver's flags are accepted verbatim and mapped onto the unified config
+    mc = p.add_argument_group("mc driver compatibility")
+    mc.add_argument("-n", "--nthreads", type=int, default=None,
+                    help="mc worker count → static partition count (the TPU "
+                         "analog of per-thread ranges; XLA parallelizes "
+                         "within the chip)")
+    mc.add_argument("-r", "--r-size", dest="rSizeMc", type=int, default=None)
+    mc.add_argument("-s", "--s-size", dest="sSizeMc", type=int, default=None)
+    mc.add_argument("-x", "--r-seed", dest="rSeed", type=int, default=None)
+    mc.add_argument("-y", "--s-seed", dest="sSeed", type=int, default=None)
+    mc.add_argument("-z", "--skew", dest="zipfSkew", type=float, default=None,
+                    help="zipf-distributed probe side with this theta "
+                         "(mc/src/main.c:393-412)")
+    mc.add_argument("--non-unique", action="store_true",
+                    help="build side drawn with duplicates (generator.c:493)")
+    mc.add_argument("--full-range", action="store_true",
+                    help="build side drawn from the full int range "
+                         "(mc/src/main.c:368-380)")
+    mc.add_argument("-l", "--local-shuffle-range", dest="lShuffle", type=int,
+                    default=None,
+                    help="build side pk_lshuffle with this window "
+                         "(generator.c:262-282)")
+    mc.add_argument("--basic-numa", action="store_true",
+                    help="accepted for parity; placement on TPU follows the "
+                         "device-mapping file / mesh (SURVEY.md §2.4 P12)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run (the PCM "
                         "dump analog, SURVEY.md §5)")
@@ -67,6 +93,32 @@ def parse_args(argv=None):
                    help="also print the ns/tuple report (mc print_timing "
                         "analog, no_partitioning_join.c:313-333)")
     a = p.parse_args(argv)
+    # fold the mc flags into the unified surface (mc semantics: R is pk
+    # unless --non-unique/--full-range/-l say otherwise; -z makes S zipf)
+    if a.rSizeMc is not None:
+        a.rSize = a.rSizeMc
+    if a.sSizeMc is not None:
+        a.sSize = a.sSizeMc
+    if a.rSeed is not None:
+        a.seed = a.rSeed
+    if a.nthreads is not None:
+        a.numPartitions = max(a.numPartitions, a.nthreads)
+    mc_used = any(x is not None for x in (a.rSizeMc, a.sSizeMc, a.rSeed,
+                                          a.sSeed, a.zipfSkew, a.lShuffle)) \
+        or a.non_unique or a.full_range
+    if a.non_unique:
+        a.dataDistr = "nonunique"
+    elif a.full_range:
+        a.dataDistr = "random"
+    elif a.lShuffle is not None:
+        a.dataDistr, a.shuffleRange = "pk_lshuffle", a.lShuffle
+    elif mc_used and a.dataDistr == "sorted":
+        a.dataDistr = "pk"         # mc default R (mc/src/main.c:368-380)
+    s_distr = None
+    if a.zipfSkew is not None:
+        a.zipfParam, s_distr = a.zipfSkew, Distribution.ZIPF
+    elif mc_used and a.dataDistr in ("pk", "pk_lshuffle"):
+        s_distr = Distribution.FK  # mc default S (mc/src/main.c:393-412)
     cfg = JoinConfig(
         algo=Algo(a.algo), r_size=a.rSize, s_size=a.sSize,
         transaction_size=a.transactionSize, probe_length=a.probeLength,
@@ -74,6 +126,7 @@ def parse_args(argv=None):
         scale_output=a.scaleOutput, num_partitions=a.numPartitions,
         distinct_keys=a.distinctKeys, seed=a.seed, zipf_param=a.zipfParam,
         radix_bits=a.radixBits, radix_passes=a.radixPasses,
+        s_seed=a.sSeed, s_distr=s_distr,
         enable_probe=not a.noProbe, retry=not a.noRetry, track=a.track,
         adaptive=a.adaptive, skew_handling=a.skewHandling,
         mesh_shape=tuple(int(x) for x in a.meshShape.split(",") if x),

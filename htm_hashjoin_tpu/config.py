@@ -63,6 +63,10 @@ class JoinConfig:
     num_partitions: int = 64              # --numPartitions: static parallel ranges (HTMHashBuild.hpp:157)
     distinct_keys: Optional[int] = None   # uniform distribution alphabet size
     seed: int = 0                         # srand(0) analog (DataGen.hpp:27)
+    s_seed: Optional[int] = None          # mc --s-seed (mc/src/main.c:337-338; None = seed+1)
+    s_distr: Optional[Distribution] = None  # probe-side distribution override
+                                          # (mc -z builds a zipf S, main.c:393-412;
+                                          #  None = driver rule: sorted / copy-of-R)
     enable_probe: bool = True             # ENABLE_PROBE macro (config.h)
     retry: bool = True                    # TM_RETRY macro: repair failed inserts (HTMHashBuild.hpp:219-238)
     track: bool = False                   # TM_TRACK macro: collision-cause stats (HTMHashBuild.hpp:134-142)

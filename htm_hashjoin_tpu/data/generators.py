@@ -245,15 +245,27 @@ def generate_keys(dist: Distribution, n: int, *, distinct: Optional[int] = None,
 
 def build_relations(cfg: JoinConfig) -> tuple[Relation, Relation]:
     """Construct (R, S) per the driver's rules (main.cpp:89-97): S is `sorted`
-    unless the distribution is `random`, in which case S is a copy of R."""
+    unless the distribution is `random`, in which case S is a copy of R.
+    ``cfg.s_distr`` overrides the S side (the mc driver's -z zipf probe /
+    --non-unique etc., mc/src/main.c:393-412), with the zipf/fk alphabet
+    anchored to the R domain so PK ⋈ S match counts stay exact."""
     r = generate_keys(cfg.data_distr, cfg.r_size, distinct=cfg.distinct_keys,
                       window=cfg.shuffle_range, seed=cfg.seed,
                       zipf_param=cfg.zipf_param)
+    s_seed = cfg.s_seed if cfg.s_seed is not None else cfg.seed + 1
+    if cfg.s_distr is not None:
+        s_keys = generate_keys(cfg.s_distr, cfg.s_size,
+                               distinct=cfg.distinct_keys or cfg.r_size,
+                               window=cfg.shuffle_range, seed=s_seed,
+                               r_size=cfg.r_size, zipf_param=cfg.zipf_param)
+        return (Relation(r),
+                Relation(s_keys,
+                         assume_sorted=cfg.s_distr == Distribution.SORTED))
     if cfg.data_distr == Distribution.RANDOM:
         s_keys = r[: cfg.s_size] if cfg.s_size <= cfg.r_size else jnp.resize(r, (cfg.s_size,))
         s_sorted = False
     elif cfg.data_distr in (Distribution.ZIPF, Distribution.FK):
-        s_keys = fk_from_pk_keys(cfg.s_size, cfg.r_size, cfg.seed + 1)
+        s_keys = fk_from_pk_keys(cfg.s_size, cfg.r_size, s_seed)
         s_sorted = False
     else:
         s_keys = sorted_keys(cfg.s_size)

@@ -31,7 +31,8 @@ _GEN_CACHE_CAP = 2
 
 def _relations_for(cfg: JoinConfig):
     key = (cfg.data_distr, cfg.r_size, cfg.s_size, cfg.distinct_keys,
-           cfg.shuffle_range, cfg.seed, cfg.zipf_param)
+           cfg.shuffle_range, cfg.seed, cfg.zipf_param, cfg.s_seed,
+           cfg.s_distr)
     if key not in _GEN_CACHE:
         if len(_GEN_CACHE) >= _GEN_CACHE_CAP:
             _GEN_CACHE.pop(next(iter(_GEN_CACHE)))

@@ -172,17 +172,18 @@ def pallas_unique_join(algo: str, r: Relation, s: Optional[Relation],
 
     from .pallas_backend import banded_build_pipelined, banded_join_pipelined
 
-    window, presort = pallas_plan(cfg)
+    window, presort, presorted = pallas_plan(cfg)
     interpret = jax.default_backend() == "cpu"
     probing = s is not None and cfg.enable_probe
     t0 = time.perf_counter()
     if probing:
         out = banded_join_pipelined(r.keys, s.keys, locality_window=window,
-                                    presort=presort, unique_both=True,
-                                    interpret=interpret)
+                                    presort=presort, presorted=presorted,
+                                    unique_both=True, interpret=interpret)
     else:
         out = banded_build_pipelined(r.keys, locality_window=window,
-                                     presort=presort, interpret=interpret)
+                                     presort=presort, presorted=presorted,
+                                     interpret=interpret)
     elapsed_us = (time.perf_counter() - t0) * 1e6
     m = JoinMetrics(algo=algo, rSize=cfg.r_size,
                     transactionSize=cfg.transaction_size,
@@ -197,16 +198,17 @@ def pallas_unique_join(algo: str, r: Relation, s: Optional[Relation],
 
 
 def pallas_plan(cfg: JoinConfig):
-    """(locality_window, presort) for the banded engine.  Bounded-
-    displacement distributions take an optimistic in-tile sorter (odd-even
-    or shifted-block bitonic by window size); global permutations and
-    duplicate-key distributions take the sort-first (radix) plan."""
+    """(locality_window, presort, presorted) for the banded engine.
+    Generator-certified sorted input needs no sort at all (presorted);
+    bounded-displacement distributions take an optimistic in-tile sorter
+    (odd-even or shifted-block bitonic by window size); global permutations
+    and duplicate-key distributions take the sort-first (radix) plan."""
     if cfg.data_distr == Distribution.SORTED:
-        return 1, False
+        return 1, False, True
     if cfg.data_distr in (Distribution.LOCAL_SHUFFLE, Distribution.PK_LSHUFFLE):
         if cfg.shuffle_range <= 1024:
-            return max(1, cfg.shuffle_range), False
-    return None, True
+            return max(1, cfg.shuffle_range), False, False
+    return None, True, False
 
 
 def pallas_metrics(cfg: JoinConfig, algo: str, outcome, elapsed_us: float,

@@ -70,11 +70,11 @@ def npo_join(r: Relation, s: Optional[Relation] = None,
 
         from .pallas_backend import banded_join_pipelined
 
-        window, presort = pallas_plan(cfg)
+        window, presort, presorted = pallas_plan(cfg)
         interpret = jax.default_backend() == "cpu"
         t0 = time.perf_counter()
         out = banded_join_pipelined(r.keys, s.keys, locality_window=window,
-                                    presort=presort,
+                                    presort=presort, presorted=presorted,
                                     unique_both=keys_are_unique(cfg),
                                     interpret=interpret)
         elapsed_us = (time.perf_counter() - t0) * 1e6

@@ -276,7 +276,7 @@ def enqueue_banded_join(rkeys: jax.Array, skeys_sorted: jax.Array, *,
 
 def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
                            locality_window: Optional[int] = None,
-                           presort: bool = False,
+                           presort: bool = False, presorted: bool = False,
                            interpret: bool = False) -> BandedJoinOutcome:
     """Build-only banded pipeline (the reference's default ENABLE_PROBE=off
     grids, config.h:4): produce the probe-able sorted-tile artifact with ONE
@@ -284,7 +284,17 @@ def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
     sorter (violations = the abort count, bitonic retry = TM_RETRY);
     unbounded distributions take the global-sort megakernel so the artifact
     has disjoint tile ranges, same as the build half of the presort join
-    plan.  matches is 0 (no probe side)."""
+    plan.  ``presorted`` = generator-certified sorted input: the input IS
+    the artifact, so the build reduces to the stats/conservation pass (the
+    planner analog of timsort's O(n) on sorted runs, which the reference's
+    own SortMerge leans on, SortMerge.cpp:18).  matches is 0 (no probe
+    side)."""
+    if presorted:
+        r2d = to_tiles_2d(rkeys, tile)
+        out_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
+        bundle = np.asarray(jnp.stack([out_sum]))
+        return BandedJoinOutcome(0, 0, 0, int(bundle[0]), False,
+                                 int(bundle[0]))
     if presort:
         from ..ops.pallas.join_kernels import global_sort_tiles
         r2d = to_tiles_2d_pow2(rkeys, tile)
@@ -318,7 +328,8 @@ def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
 def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                           tile: int = DEFAULT_TILE,
                           locality_window: Optional[int] = None,
-                          presort: bool = False, unique_both: bool = False,
+                          presort: bool = False, presorted: bool = False,
+                          unique_both: bool = False,
                           max_chunks: int = 4, narrow: Optional[bool] = None,
                           interpret: bool = False,
                           s2d: Optional[jax.Array] = None
@@ -336,8 +347,14 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
     ``narrow`` selects the single-merge narrow-band count kernel (default:
     on for unique keys, locality plans, and presorted builds — everywhere
     bands are expected to stay within one tile + a small overhang; tiles
-    that break the expectation are repaired host-side, exactly)."""
-    if presort:
+    that break the expectation are repaired host-side, exactly).
+    ``presorted`` = generator-certified sorted R: skip the sort megakernel,
+    take the tile_stats directory straight off the input (violations there
+    surface in the readback as failedTransactions)."""
+    if presorted:
+        r2d = to_tiles_2d(rkeys, tile)
+        method, passes = "presorted", 0
+    elif presort:
         # global sort via the grouped bitonic megakernels — ~2x XLA's
         # jnp.sort at 2^27 on v5e (and the same code path CPU tests cover
         # in interpret mode)

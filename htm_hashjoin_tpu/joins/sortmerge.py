@@ -48,8 +48,12 @@ def sortmerge_join(r: Relation, s: Optional[Relation] = None,
         from .common import keys_are_unique
 
         interpret = jax.default_backend() == "cpu"
+        sorted_in = cfg.data_distr == Distribution.SORTED
         t0 = time.perf_counter()
-        out = banded_join_pipelined(r.keys, s.keys, presort=True,
+        # sorted input skips the sort outright — the analog of timsort's
+        # O(n) pass on sorted runs the reference leans on (SortMerge.cpp:18)
+        out = banded_join_pipelined(r.keys, s.keys, presort=not sorted_in,
+                                    presorted=sorted_in,
                                     unique_both=keys_are_unique(cfg),
                                     interpret=interpret)
         elapsed_us = (time.perf_counter() - t0) * 1e6

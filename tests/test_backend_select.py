@@ -72,11 +72,12 @@ def test_eligibility_rules():
 
 
 def test_pallas_plan_selection():
-    assert pallas_plan(_cfg(data_distr=Distribution.SORTED)) == (1, False)
-    assert pallas_plan(_cfg(shuffle_range=64)) == (64, False)
+    # (window, presort, presorted)
+    assert pallas_plan(_cfg(data_distr=Distribution.SORTED)) == (1, False, True)
+    assert pallas_plan(_cfg(shuffle_range=64)) == (64, False, False)
     # window beyond odd-even reach -> sort-first
-    assert pallas_plan(_cfg(shuffle_range=4096)) == (None, True)
-    assert pallas_plan(_cfg(data_distr=Distribution.SHUFFLE)) == (None, True)
+    assert pallas_plan(_cfg(shuffle_range=4096)) == (None, True, False)
+    assert pallas_plan(_cfg(data_distr=Distribution.SHUFFLE)) == (None, True, False)
 
 
 def test_cli_backend_flag(capsys):
@@ -169,3 +170,28 @@ def test_forced_pallas_matches_xla_npo():
     assert mp.extra["backend"] == "pallas_banded"
     assert mp.totalMatches == mx.totalMatches == N
     assert mp.inputSum == mp.outputSum
+
+
+def test_presorted_fast_path_matches_xla():
+    """SORTED-distribution plan skips the sort megakernel entirely; matches
+    and conservation must equal the XLA path (routing-change parity rule)."""
+    from htm_hashjoin_tpu.joins.sortmerge import sortmerge_join
+    for join in (htm_join, sortmerge_join):
+        cfg_x = _cfg(backend="xla", data_distr=Distribution.SORTED)
+        cfg_p = _cfg(backend="pallas", data_distr=Distribution.SORTED)
+        r, s = build_relations(cfg_x)
+        mx = join(r, s, cfg_x)
+        mp = join(r, s, cfg_p)
+        assert mp.extra["backend"] == "pallas_banded"
+        assert mp.totalMatches == mx.totalMatches == N
+        assert mp.inputSum == mp.outputSum == mx.inputSum
+        assert mp.failedTransactions == 0
+
+
+def test_presorted_build_only():
+    cfg_p = _cfg(backend="pallas", data_distr=Distribution.SORTED,
+                 enable_probe=False)
+    r, s = build_relations(cfg_p)
+    m = htm_join(r, None, cfg_p)
+    assert m.extra["backend"] == "pallas_banded"
+    assert m.inputSum == m.outputSum == N * (N + 1) // 2

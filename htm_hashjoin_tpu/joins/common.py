@@ -206,7 +206,11 @@ def pallas_plan(cfg: JoinConfig):
     if cfg.data_distr == Distribution.SORTED:
         return 1, False, True
     if cfg.data_distr in (Distribution.LOCAL_SHUFFLE, Distribution.PK_LSHUFFLE):
-        if cfg.shuffle_range <= 1024:
+        # 512 is the optimistic sorters' reach (pallas_backend._sort_method)
+        # AND the narrow kernel's certified overhang (OV_ROWS covers ~896):
+        # beyond it the banded plan would flag every tile into the per-tile
+        # host repair loop — the sort-first plan is strictly faster there.
+        if cfg.shuffle_range <= 512:
             return max(1, cfg.shuffle_range), False, False
     return None, True, False
 

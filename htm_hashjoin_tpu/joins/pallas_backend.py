@@ -393,6 +393,18 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
         resorted = True
     matches_i = int(bundle[0])
     overflow_i = int(bundle[2])
+    n_tiles = r2d.shape[0] // (tile // LANES)
+    if overflow_i > max(4, n_tiles // 8) and not presort:
+        # mass overflow means the plan was wrong for this data (bands wider
+        # than the kernel certifies everywhere, e.g. a mis-sized locality
+        # window): one global re-sort beats thousands of per-tile host
+        # round trips.  The abort→replan analog of HTM_SWITCH, not a repair.
+        out = banded_join_pipelined(rkeys, skeys_sorted, tile=tile,
+                                    presort=True, unique_both=unique_both,
+                                    max_chunks=max_chunks, narrow=narrow,
+                                    interpret=interpret, s2d=s2d)
+        return out._replace(violations=int(bundle[1]),
+                            overflow_tiles=overflow_i, resorted=True)
     if overflow_i:                      # skew spill → XLA per-tile fallback
         bad_tiles = np.nonzero(np.asarray(bad))[0]
         flat = sorted2d.reshape(-1)

@@ -195,3 +195,16 @@ def test_presorted_build_only():
     m = htm_join(r, None, cfg_p)
     assert m.extra["backend"] == "pallas_banded"
     assert m.inputSum == m.outputSum == N * (N + 1) // 2
+
+
+def test_window_boundary_routes_to_presort():
+    """Windows past the optimistic sorters' reach (512) must take the
+    sort-first plan — at w=1024 the banded plan would flag EVERY tile into
+    the per-tile host repair loop (minutes per join at 2^27)."""
+    assert pallas_plan(_cfg(shuffle_range=512))[1] is False
+    assert pallas_plan(_cfg(shuffle_range=1024)) == (None, True, False)
+    cfg = _cfg(shuffle_range=1024, backend="pallas")
+    r, s = build_relations(cfg)
+    m = htm_join(r, s, cfg)
+    assert m.extra["backend"] == "pallas_banded"
+    assert m.totalMatches == N and m.inputSum == m.outputSum

@@ -10,7 +10,7 @@ host-side branching exactly where the reference branched between phases.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -172,17 +172,21 @@ def pallas_unique_join(algo: str, r: Relation, s: Optional[Relation],
 
     from .pallas_backend import banded_build_pipelined, banded_join_pipelined
 
-    window, presort, presorted = pallas_plan(cfg)
+    plan = pallas_plan(cfg)
     interpret = jax.default_backend() == "cpu"
     probing = s is not None and cfg.enable_probe
     t0 = time.perf_counter()
     if probing:
-        out = banded_join_pipelined(r.keys, s.keys, locality_window=window,
-                                    presort=presort, presorted=presorted,
+        out = banded_join_pipelined(r.keys, s.keys,
+                                    locality_window=plan.window,
+                                    presort=plan.presort,
+                                    presorted=plan.presorted,
+                                    narrow=plan.narrow,
                                     unique_both=True, interpret=interpret)
     else:
-        out = banded_build_pipelined(r.keys, locality_window=window,
-                                     presort=presort, presorted=presorted,
+        out = banded_build_pipelined(r.keys, locality_window=plan.window,
+                                     presort=plan.presort,
+                                     presorted=plan.presorted,
                                      interpret=interpret)
     elapsed_us = (time.perf_counter() - t0) * 1e6
     m = JoinMetrics(algo=algo, rSize=cfg.r_size,
@@ -197,22 +201,37 @@ def pallas_unique_join(algo: str, r: Relation, s: Optional[Relation],
     return m
 
 
-def pallas_plan(cfg: JoinConfig):
-    """(locality_window, presort, presorted) for the banded engine.
-    Generator-certified sorted input needs no sort at all (presorted);
-    bounded-displacement distributions take an optimistic in-tile sorter
-    (odd-even or shifted-block bitonic by window size); global permutations
-    and duplicate-key distributions take the sort-first (radix) plan."""
+class BandedPlan(NamedTuple):
+    """Engine plan for one join (compares equal to a plain tuple)."""
+    window: Optional[int]    # optimistic sorter window (None = exact)
+    presort: bool            # global-sort-first (the radix-path plan)
+    presorted: bool          # input certified sorted: skip sorting entirely
+    narrow: Optional[bool]   # narrow-kernel override (None = engine default)
+
+
+def pallas_plan(cfg: JoinConfig) -> BandedPlan:
+    """Plan selection for the banded engine, by locality regime:
+
+    * certified sorted input  → no sort at all (presorted);
+    * window ≤ 512            → optimistic bounded-displacement sorter
+      (odd-even / shifted-block; 512 is the sorters' reach in
+      pallas_backend._sort_method AND the narrow kernel's certified
+      overhang — beyond it every tile would flag into the host repair);
+    * window ≤ tile (65536)   → exact per-tile bitonic with WIDE bands:
+      boundary-straddling keys merely widen each tile's S band to
+      ≤ tile + 2·window, which the general multi-chunk count kernel
+      covers exactly (narrow=False) — one 63 ms tile sort instead of a
+      197 ms global sort at 2^27, the regime where the reference's HTM
+      still profits from locality (BASELINE.md mid-window rows);
+    * beyond, and duplicate-key/global distributions → sort-first plan."""
     if cfg.data_distr == Distribution.SORTED:
-        return 1, False, True
+        return BandedPlan(1, False, True, None)
     if cfg.data_distr in (Distribution.LOCAL_SHUFFLE, Distribution.PK_LSHUFFLE):
-        # 512 is the optimistic sorters' reach (pallas_backend._sort_method)
-        # AND the narrow kernel's certified overhang (OV_ROWS covers ~896):
-        # beyond it the banded plan would flag every tile into the per-tile
-        # host repair loop — the sort-first plan is strictly faster there.
         if cfg.shuffle_range <= 512:
-            return max(1, cfg.shuffle_range), False, False
-    return None, True, False
+            return BandedPlan(max(1, cfg.shuffle_range), False, False, None)
+        if cfg.shuffle_range <= 65536:
+            return BandedPlan(None, False, False, False)
+    return BandedPlan(None, True, False, None)
 
 
 def pallas_metrics(cfg: JoinConfig, algo: str, outcome, elapsed_us: float,

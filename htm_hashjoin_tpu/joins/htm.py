@@ -113,11 +113,12 @@ def _htm_build_pallas(cfg: JoinConfig, r: Relation) -> JoinMetrics:
 
     from .pallas_backend import banded_build_pipelined
 
-    window, presort, presorted = pallas_plan(cfg)
+    plan = pallas_plan(cfg)
     interpret = jax.default_backend() == "cpu"
     t0 = time.perf_counter()
-    out = banded_build_pipelined(r.keys, locality_window=window,
-                                 presort=presort, presorted=presorted,
+    out = banded_build_pipelined(r.keys, locality_window=plan.window,
+                                 presort=plan.presort,
+                                 presorted=plan.presorted,
                                  interpret=interpret)
     elapsed_us = (time.perf_counter() - t0) * 1e6
     return pallas_metrics(cfg, "htm", out, elapsed_us, None)
@@ -132,13 +133,14 @@ def _htm_join_pallas(r: Relation, s: Relation, cfg: JoinConfig) -> JoinMetrics:
 
     from .pallas_backend import banded_join_pipelined
 
-    window, presort, presorted = pallas_plan(cfg)
+    plan = pallas_plan(cfg)
     interpret = jax.default_backend() == "cpu"
     t0 = time.perf_counter()
     # permutation distributions certify both sides unique (S is generated
     # sorted 1..N) — unlocks the single-shift count formula
-    out = banded_join_pipelined(r.keys, s.keys, locality_window=window,
-                                presort=presort, presorted=presorted,
+    out = banded_join_pipelined(r.keys, s.keys, locality_window=plan.window,
+                                presort=plan.presort,
+                                presorted=plan.presorted, narrow=plan.narrow,
                                 unique_both=keys_are_unique(cfg),
                                 interpret=interpret)
     elapsed_us = (time.perf_counter() - t0) * 1e6

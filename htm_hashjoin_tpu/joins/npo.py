@@ -70,11 +70,14 @@ def npo_join(r: Relation, s: Optional[Relation] = None,
 
         from .pallas_backend import banded_join_pipelined
 
-        window, presort, presorted = pallas_plan(cfg)
+        plan = pallas_plan(cfg)
         interpret = jax.default_backend() == "cpu"
         t0 = time.perf_counter()
-        out = banded_join_pipelined(r.keys, s.keys, locality_window=window,
-                                    presort=presort, presorted=presorted,
+        out = banded_join_pipelined(r.keys, s.keys,
+                                    locality_window=plan.window,
+                                    presort=plan.presort,
+                                    presorted=plan.presorted,
+                                    narrow=plan.narrow,
                                     unique_both=keys_are_unique(cfg),
                                     interpret=interpret)
         elapsed_us = (time.perf_counter() - t0) * 1e6

@@ -72,12 +72,15 @@ def test_eligibility_rules():
 
 
 def test_pallas_plan_selection():
-    # (window, presort, presorted)
-    assert pallas_plan(_cfg(data_distr=Distribution.SORTED)) == (1, False, True)
-    assert pallas_plan(_cfg(shuffle_range=64)) == (64, False, False)
-    # window beyond odd-even reach -> sort-first
-    assert pallas_plan(_cfg(shuffle_range=4096)) == (None, True, False)
-    assert pallas_plan(_cfg(data_distr=Distribution.SHUFFLE)) == (None, True, False)
+    # (window, presort, presorted, narrow)
+    assert pallas_plan(_cfg(data_distr=Distribution.SORTED)) == (1, False, True, None)
+    assert pallas_plan(_cfg(shuffle_range=64)) == (64, False, False, None)
+    # mid windows: exact per-tile bitonic with wide bands (general kernel)
+    assert pallas_plan(_cfg(shuffle_range=4096)) == (None, False, False, False)
+    assert pallas_plan(_cfg(shuffle_range=65536)) == (None, False, False, False)
+    # beyond the tile: sort-first
+    assert pallas_plan(_cfg(shuffle_range=1 << 17)) == (None, True, False, None)
+    assert pallas_plan(_cfg(data_distr=Distribution.SHUFFLE)) == (None, True, False, None)
 
 
 def test_cli_backend_flag(capsys):
@@ -197,14 +200,16 @@ def test_presorted_build_only():
     assert m.inputSum == m.outputSum == N * (N + 1) // 2
 
 
-def test_window_boundary_routes_to_presort():
-    """Windows past the optimistic sorters' reach (512) must take the
-    sort-first plan — at w=1024 the banded plan would flag EVERY tile into
-    the per-tile host repair loop (minutes per join at 2^27)."""
-    assert pallas_plan(_cfg(shuffle_range=512))[1] is False
-    assert pallas_plan(_cfg(shuffle_range=1024)) == (None, True, False)
-    cfg = _cfg(shuffle_range=1024, backend="pallas")
-    r, s = build_relations(cfg)
-    m = htm_join(r, s, cfg)
-    assert m.extra["backend"] == "pallas_banded"
-    assert m.totalMatches == N and m.inputSum == m.outputSum
+def test_window_boundary_routes_wide_band():
+    """Windows past the optimistic sorters' reach (512) take the wide-band
+    tile-bitonic plan (NOT the narrow kernel, whose overhang certificate
+    fails on every tile there — minutes of host repair at 2^27)."""
+    assert pallas_plan(_cfg(shuffle_range=512)).narrow is None
+    assert pallas_plan(_cfg(shuffle_range=1024)).narrow is False
+    for w in (1024, 4096):
+        cfg = _cfg(shuffle_range=w, backend="pallas")
+        r, s = build_relations(cfg)
+        m = htm_join(r, s, cfg)
+        assert m.extra["backend"] == "pallas_banded", w
+        assert m.totalMatches == N and m.inputSum == m.outputSum
+        assert m.conflictCount == 0, w   # no band overflow: plan certifies

@@ -2,8 +2,9 @@
 
 The reference brackets phases with gettimeofday (HTMHashBuild.hpp:93-94,310)
 and rdtsc cycle counters (mc/src/rdtsc.h:35-57).  On TPU, dispatch is async:
-a phase timer must block on device results (`block_until_ready`) to measure
-real device time.
+a phase timer must block on device results to measure real device time —
+and on the axon tunnel ``block_until_ready`` does NOT actually fence, so the
+barrier is a one-element host readback of each output array.
 """
 
 from __future__ import annotations
@@ -13,6 +14,20 @@ from contextlib import contextmanager
 from typing import Dict
 
 import jax
+import numpy as np
+
+
+def fence_outputs(out):
+    """Host-sync every jax array in a pytree via ONE scalar-bundle readback
+    (the only reliable device barrier on this platform, and each readback
+    costs a ~25 ms tunnel round trip — so exactly one)."""
+    import jax.numpy as jnp
+    leaves = [l for l in jax.tree_util.tree_leaves(out)
+              if isinstance(l, jax.Array) and l.size]
+    if leaves:
+        np.asarray(jnp.stack([l.reshape(-1)[0].astype(jnp.float32)
+                              for l in leaves]))
+    return out
 
 
 class PhaseTimer:
@@ -32,10 +47,9 @@ class PhaseTimer:
                 time.perf_counter() - start) * 1e6
 
     def timed(self, name: str, fn, *args, **kwargs):
-        """Run fn, block on all jax outputs, record elapsed µs."""
+        """Run fn, fence all jax outputs, record elapsed µs."""
         start = time.perf_counter()
-        out = fn(*args, **kwargs)
-        out = jax.block_until_ready(out)
+        out = fence_outputs(fn(*args, **kwargs))
         self.micros[name] = self.micros.get(name, 0.0) + (
             time.perf_counter() - start) * 1e6
         return out

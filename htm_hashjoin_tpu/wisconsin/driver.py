@@ -96,11 +96,14 @@ def run_multijoin(conf: Union[str, Dict[str, Any]], *,
                 timings[name] = time.perf_counter_ns() - self_.t0
         return _Span()
 
+    from ..utils.timing import fence_outputs
+
     with phase("generate"):
         tbuild = _load_side(conf["build"], base,
                             conf["partitioner"]["build"].get("pagesize", 1 << 20))
         tprobe = _load_side(conf["probe"], base,
                             conf["partitioner"]["probe"].get("pagesize", 1 << 20))
+        fence_outputs(tbuild.columns + tprobe.columns)
 
     # factories (main.cpp:250-255)
     pbuild = partitioner_factory(conf["partitioner"]["build"],
@@ -116,15 +119,26 @@ def run_multijoin(conf: Union[str, Dict[str, Any]], *,
     sel2 = [int(x) for x in conf["probe"].get("select", [])]
     joiner.init(tbuild.schema, sel1, ja1, tprobe.schema, sel2, ja2)
 
-    # compute() phases (main.cpp:112-145)
+    # compute() phases (main.cpp:112-145).  Columns stay on device across
+    # phases; each phase ends with one scalar-bundle readback so the spans
+    # measure real device time (the rdtsc-checkpoint analog — dispatch is
+    # async and block_until_ready is not a reliable fence here).
+    from ..utils.timing import fence_outputs
+
     with phase("split_build"):
         parts_build = pbuild.split(tbuild)
+        fence_outputs(parts_build.table.columns)
     with phase("split_probe"):
         parts_probe = pprobe.split(tprobe)
+        fence_outputs(parts_probe.table.columns)
     with phase("build"):
         joiner.build(parts_build)
+        fence_outputs([getattr(joiner, a) for a in
+                       ("_build_keys_sorted", "_build_perm", "_flat_comp")
+                       if hasattr(joiner, a)])
     with phase("probe"):
         output = joiner.probe(parts_probe)
+        fence_outputs(output.columns)
 
     if write_output and "output" in conf:
         output.save(os.path.join(base, conf["output"]))

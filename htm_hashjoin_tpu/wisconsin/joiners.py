@@ -174,29 +174,39 @@ class BaseJoiner:
     def _emit(self, probe_table: Table, lo, hi, total: int,
               build_payload_cols: List, probe_row_of=None) -> Table:
         """Materialize output rows: sel1 payload gathered from the build
-        structure, sel2 columns gathered from the probe side."""
-        cap = max(8, next_pow2(int(total)))
+        structure, sel2 columns gathered from the probe side.
+
+        Numeric output columns are gathered on device and STAY there, at a
+        static next-pow2 capacity with the invalid tail beyond ``rows``
+        (slots k >= total are exactly the tail, _expand_matches) — the
+        host tunnel moves ~45 MB/s, so host materialization happens only on
+        an explicit save()/np.asarray.  String columns gather host-side over
+        the valid prefix."""
+        total_i = int(total)
+        cap = max(8, next_pow2(total_i))
         probe_idx, build_rank, _ = _expand_matches(lo, hi, cap)
-        valid = np.asarray(probe_idx) >= 0
         b_rank = jnp.where(build_rank >= 0, build_rank, 0)
         p_idx = jnp.where(probe_idx >= 0, probe_idx, 0)
+        if probe_row_of is not None:
+            p_idx = jnp.asarray(probe_row_of)[p_idx]
         b_rank_np = None
-        out_cols: List[np.ndarray] = []
+        out_cols: List = []
         for col in build_payload_cols:
             if isinstance(col, np.ndarray) and col.dtype == object:
                 if b_rank_np is None:
-                    b_rank_np = np.asarray(b_rank)[valid]
+                    b_rank_np = np.asarray(b_rank[:total_i])
                 out_cols.append(col[b_rank_np])       # strings gather on host
             else:
-                out_cols.append(np.asarray(jnp.asarray(col)[b_rank])[valid])
-        p_idx_np = np.asarray(p_idx)[valid]
-        if probe_row_of is not None:
-            p_idx_np = np.asarray(probe_row_of)[p_idx_np]
+                out_cols.append(jnp.asarray(col)[b_rank])
         for c in self.sel2:
-            col = np.asarray(probe_table.column(c))
-            out_cols.append(col[p_idx_np])
-        self.stats.output_rows = int(total)
-        return Table(self.sout, out_cols, self.output_page_size)
+            col = probe_table.column(c)
+            if isinstance(col, np.ndarray) and col.dtype == object:
+                out_cols.append(col[np.asarray(p_idx[:total_i])])
+            else:
+                out_cols.append(jnp.asarray(col)[p_idx])
+        self.stats.output_rows = total_i
+        return Table(self.sout, out_cols, self.output_page_size,
+                     rows=total_i)
 
 
 # ---------------------------------------------------------------------------
@@ -276,11 +286,13 @@ class HashJoiner(BaseJoiner):
         if self.partition_probe or self.steal:
             # per-partition probe cost: Σ (matches + 1) over the partition's
             # probe rows — the work a thread owning that partition would do
-            counts = np.asarray(hi - lo, dtype=np.int64) + 1
-            cum = np.concatenate([[0], np.cumsum(counts)])
-            starts = np.asarray(parts.offsets, np.int64)
-            ends = starts + np.asarray(parts.sizes, np.int64)
-            costs = cum[ends] - cum[starts]
+            # (computed on device; only the per-partition totals come home)
+            counts = (hi - lo).astype(jnp.int64) + 1
+            cum = jnp.concatenate([jnp.zeros((1,), jnp.int64),
+                                   jnp.cumsum(counts)])
+            starts = jnp.asarray(np.asarray(parts.offsets, np.int64))
+            ends = starts + jnp.asarray(np.asarray(parts.sizes, np.int64))
+            costs = np.asarray(cum[ends] - cum[starts])
             self.stats.partition_probe_costs = costs
             if self.steal:
                 # static steal plan: equal-cost contiguous chunks

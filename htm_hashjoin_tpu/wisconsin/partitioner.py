@@ -76,19 +76,22 @@ def _reorder(table: Table, jattr: int, buckets: jax.Array, nparts: int,
     hist = jnp.bincount(buckets, length=nparts)
     offsets = jnp.concatenate([jnp.zeros((1,), hist.dtype),
                                jnp.cumsum(hist)[:-1]])
-    perm_np = np.asarray(perm)
-    cols = [np.asarray(c)[perm_np] if np.asarray(c).dtype == object
-            else None for c in table.columns]
-    # numeric columns gather on device, string columns on host
+    # numeric columns gather AND STAY on device (the host tunnel moves
+    # ~45 MB/s — pulling the perm or a reordered column to the host costs
+    # seconds at reference sizes); string columns gather host-side
     out_cols = []
-    for c, host in zip(table.columns, cols):
-        if host is not None:
-            out_cols.append(host)
+    perm_np = None
+    for c in table.columns:
+        if isinstance(c, np.ndarray) and c.dtype == object:
+            if perm_np is None:
+                perm_np = np.asarray(perm)
+            out_cols.append(c[perm_np])
         else:
-            out_cols.append(np.asarray(jnp.asarray(c)[perm]))
+            out_cols.append(jnp.asarray(c)[perm])
     out = Table(table.schema, out_cols, table.page_size)
-    return PartitionedTable(out, np.asarray(hist, np.int64),
-                            np.asarray(offsets, np.int64), perm_np)
+    sizes_offsets = np.asarray(jnp.stack([hist.astype(jnp.int64),
+                                          offsets.astype(jnp.int64)]))
+    return PartitionedTable(out, sizes_offsets[0], sizes_offsets[1], perm)
 
 
 class NoPartitioner:

@@ -37,21 +37,35 @@ from .schema import ColumnType, Schema
 class Table:
     """Immutable columnar table: one numpy/JAX array per schema column.
 
+    Numeric columns stay as DEVICE arrays end to end (the host↔TPU tunnel
+    moves ~45 MB/s — every needless np.asarray of a big column costs
+    seconds); string columns are host numpy.  ``rows`` caps the logical row
+    count when columns carry static-shape padding (join outputs are
+    materialized at next-pow2 capacity with the invalid tail beyond
+    ``rows``).
+
     ``PageCursor`` equivalents are (start, stop) row blocks from split().
     """
 
     schema: Schema
     columns: List[np.ndarray]
     page_size: int = 1 << 20   # rows per logical page (conf 'pagesize')
+    rows: Optional[int] = None  # logical row count (None = column length)
 
     @property
     def num_rows(self) -> int:
+        if self.rows is not None:
+            return self.rows
         return 0 if not self.columns else int(self.columns[0].shape[0])
 
     def column(self, i: int) -> np.ndarray:
         """1-based column accessor (reference conf attribute/select indices
-        are 1-based, e.g. ``jattr: 1``)."""
-        return self.columns[i - 1]
+        are 1-based, e.g. ``jattr: 1``).  Returns the valid prefix when the
+        backing array carries capacity padding."""
+        c = self.columns[i - 1]
+        if self.rows is not None and c.shape[0] != self.rows:
+            return c[: self.rows]
+        return c
 
     def key_column(self, jattr: int) -> np.ndarray:
         col = self.column(jattr)
@@ -74,15 +88,26 @@ class Table:
                 for b in parts]
 
     def gather(self, rows: np.ndarray) -> "Table":
-        return Table(self.schema, [np.asarray(c)[rows] for c in self.columns],
-                     self.page_size)
+        """Row gather — device-side for device columns, host for strings."""
+        import jax
+        import jax.numpy as jnp
+        out = []
+        for i in range(len(self.columns)):
+            c = self.column(i + 1)
+            if isinstance(c, jax.Array):
+                out.append(c[jnp.asarray(rows)])
+            else:
+                out.append(np.asarray(c)[rows])
+        return Table(self.schema, out, self.page_size)
 
     def save(self, path: str, separator: str = "|") -> None:
         """Text .tbl writer (the output: 'test.tbl' conf entry)."""
         if path.endswith(".npz"):
-            np.savez(path, *[np.asarray(c) for c in self.columns])
+            np.savez(path, *[np.asarray(self.column(i + 1))
+                             for i in range(len(self.columns))])
             return
-        cols = [np.asarray(c) for c in self.columns]
+        cols = [np.asarray(self.column(i + 1))
+                for i in range(len(self.columns))]
         with open(path, "w") as f:
             for i in range(self.num_rows):
                 f.write(separator.join(str(c[i]) for c in cols) + "\n")
@@ -102,16 +127,25 @@ class WriteTable(Table):
         self._chunks: List[List[np.ndarray]] = []
 
     def append_batch(self, cols: Sequence[np.ndarray]) -> None:
+        """Device arrays pass through untouched (pulling a generated column
+        through the ~45 MB/s tunnel just to push it back costs seconds)."""
+        import jax
         if len(cols) != self.schema.columns():
             raise ValueError("column count mismatch")
-        self._chunks.append([np.asarray(c) for c in cols])
+        self._chunks.append([c if isinstance(c, jax.Array) else np.asarray(c)
+                             for c in cols])
 
     def finalize(self) -> None:
-        if self._chunks:
+        if not self._chunks:
+            return
+        if len(self._chunks) == 1 and self.num_rows == 0:
+            self.columns = self._chunks[0]       # the generate() fast path
+        else:
             self.columns = [
-                np.concatenate([self.columns[i]] + [c[i] for c in self._chunks])
+                np.concatenate([np.asarray(self.columns[i])]
+                               + [np.asarray(c[i]) for c in self._chunks])
                 for i in range(self.schema.columns())]
-            self._chunks = []
+        self._chunks = []
 
     # -- generation bridge (table.cpp:206-233) ------------------------------
 
@@ -124,23 +158,24 @@ class WriteTable(Table):
         from ..data import generators as G
         from ..config import Distribution
 
+        import jax.numpy as jnp
+
         if zipf_param > 0.0:
             keys = G.zipf_keys(relation_size, alphabet_size, zipf_param, seed)
         elif relation_size == alphabet_size:
             keys = G.pk_keys(relation_size, seed)
         else:
             keys = G.fk_from_pk_keys(relation_size, alphabet_size, seed)
-        keys = np.asarray(keys)
         cols = []
         for i, t in enumerate(self.schema.types):
             if i == 0:
                 cols.append(keys.astype(t.dtype) if t != ColumnType.STRING
-                            else keys.astype(str).astype(object))
+                            else np.asarray(keys).astype(str).astype(object))
             elif t == ColumnType.STRING:
                 cols.append(np.arange(1, relation_size + 1).astype(str)
                             .astype(object))
             else:
-                cols.append(np.arange(1, relation_size + 1, dtype=t.dtype))
+                cols.append(jnp.arange(1, relation_size + 1, dtype=t.dtype))
         self.append_batch(cols)
         self.finalize()
 

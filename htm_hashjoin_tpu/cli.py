@@ -104,21 +104,30 @@ def parse_args(argv=None):
     if a.nthreads is not None:
         a.numPartitions = max(a.numPartitions, a.nthreads)
     mc_used = any(x is not None for x in (a.rSizeMc, a.sSizeMc, a.rSeed,
-                                          a.sSeed, a.zipfSkew, a.lShuffle)) \
-        or a.non_unique or a.full_range
-    if a.non_unique:
+                                          a.sSeed, a.zipfSkew, a.lShuffle,
+                                          a.nthreads)) \
+        or a.non_unique or a.full_range or a.basic_numa
+    # R,S construction mirrors mc/src/main.c:368-412 exactly:
+    #   fullrange : R = nonunique(r, INT_MAX),  S = fk_from_pk
+    #   nonunique : R = nonunique(r, r),        S = nonunique(s, maxid=r)
+    #   else      : R = pk / pk_lshuffle,       S = zipf if skew>0 else fk
+    s_distr = None
+    if a.full_range:
         a.dataDistr = "nonunique"
-    elif a.full_range:
-        a.dataDistr = "random"
+        a.distinctKeys = 2**31 - 2     # INT_MAX alphabet (main.c:369)
+        s_distr = Distribution.FK
+    elif a.non_unique:
+        a.dataDistr = "nonunique"
+        s_distr = Distribution.NONUNIQUE  # alphabet anchored to r_size
     elif a.lShuffle is not None:
         a.dataDistr, a.shuffleRange = "pk_lshuffle", a.lShuffle
     elif mc_used and a.dataDistr == "sorted":
         a.dataDistr = "pk"         # mc default R (mc/src/main.c:368-380)
-    s_distr = None
-    if a.zipfSkew is not None:
-        a.zipfParam, s_distr = a.zipfSkew, Distribution.ZIPF
-    elif mc_used and a.dataDistr in ("pk", "pk_lshuffle"):
-        s_distr = Distribution.FK  # mc default S (mc/src/main.c:393-412)
+    if s_distr is None and a.dataDistr in ("pk", "pk_lshuffle"):
+        if a.zipfSkew is not None and a.zipfSkew > 0:
+            a.zipfParam, s_distr = a.zipfSkew, Distribution.ZIPF
+        elif mc_used:
+            s_distr = Distribution.FK  # incl. -z 0 (main.c:403-411)
     cfg = JoinConfig(
         algo=Algo(a.algo), r_size=a.rSize, s_size=a.sSize,
         transaction_size=a.transactionSize, probe_length=a.probeLength,

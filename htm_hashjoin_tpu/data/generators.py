@@ -175,6 +175,17 @@ def pk_lshuffle_keys(n: int, window: int, seed: int) -> jax.Array:
     return local_shuffled_keys(n, window, seed)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def fk_from_relation(r_keys: jax.Array, s_size: int, seed) -> jax.Array:
+    """Foreign keys drawn from an ACTUAL build relation's keys
+    (create_relation_fk_from_pk, mc/src/generator.c:458-491): every R tuple's
+    key appears floor or ceil of s_size/|R| times, shuffled.  Required when R
+    is not a 1..N permutation (mc --full-range builds, main.c:393-395)."""
+    reps = -(-s_size // r_keys.shape[0])
+    tiled = jnp.tile(r_keys, reps)[:s_size]
+    return jax.random.permutation(_key(seed, 7), tiled)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def fk_from_pk_keys(s_size: int, r_size: int, seed: int) -> jax.Array:
     """Foreign keys drawn by tiling the PK domain then shuffling
@@ -254,10 +265,19 @@ def build_relations(cfg: JoinConfig) -> tuple[Relation, Relation]:
                       zipf_param=cfg.zipf_param)
     s_seed = cfg.s_seed if cfg.s_seed is not None else cfg.seed + 1
     if cfg.s_distr is not None:
-        s_keys = generate_keys(cfg.s_distr, cfg.s_size,
-                               distinct=cfg.distinct_keys or cfg.r_size,
-                               window=cfg.shuffle_range, seed=s_seed,
-                               r_size=cfg.r_size, zipf_param=cfg.zipf_param)
+        if cfg.s_distr == Distribution.FK:
+            # draw from R's ACTUAL keys (fk_from_pk, generator.c:458-491) —
+            # required when R itself has duplicates (mc --full-range)
+            s_keys = fk_from_relation(r, cfg.s_size, s_seed)
+        elif cfg.s_distr == Distribution.NONUNIQUE:
+            # mc --non-unique S: maxid anchored to r_size (main.c:398-401)
+            s_keys = nonunique_keys(cfg.s_size, cfg.r_size, s_seed)
+        else:
+            s_keys = generate_keys(cfg.s_distr, cfg.s_size,
+                                   distinct=cfg.distinct_keys or cfg.r_size,
+                                   window=cfg.shuffle_range, seed=s_seed,
+                                   r_size=cfg.r_size,
+                                   zipf_param=cfg.zipf_param)
         return (Relation(r),
                 Relation(s_keys,
                          assume_sorted=cfg.s_distr == Distribution.SORTED))

@@ -21,10 +21,10 @@ from ..data.generators import build_relations
 from .grids import GRIDS, RUNNER_ORDER
 
 
-# Generated relations reused across grid points that share generator inputs
-# (a tSize sweep regenerates nothing).  Two entries ≈ 2 GB HBM at 2^27 —
-# well within a single chip; the reference harness likewise regenerated only
-# when parameters changed between loop iterations.
+# Generated relations reused across CONSECUTIVE grid points sharing
+# generator inputs (a tSize sweep regenerates nothing; window-inner sweeps
+# still regenerate per point — cross-algo reuse would need a window-sweep-
+# sized cache, ~28 GB at 2^27).  Two entries ≈ 2 GB HBM on a single chip.
 _GEN_CACHE: "dict[tuple, tuple]" = {}
 _GEN_CACHE_CAP = 2
 
@@ -36,8 +36,10 @@ def _relations_for(cfg: JoinConfig):
     if key not in _GEN_CACHE:
         if len(_GEN_CACHE) >= _GEN_CACHE_CAP:
             _GEN_CACHE.pop(next(iter(_GEN_CACHE)))
+        from ..utils.timing import fence_outputs
         r, s = build_relations(cfg)
-        r.fence(), s.fence()   # generation is NOT part of the timed phases
+        # ONE bundled readback: generation is NOT part of the timed phases
+        fence_outputs((r.keys, r.payloads, s.keys, s.payloads))
         _GEN_CACHE[key] = (r, s)
     return _GEN_CACHE[key]
 

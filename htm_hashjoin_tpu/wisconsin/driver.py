@@ -123,8 +123,6 @@ def run_multijoin(conf: Union[str, Dict[str, Any]], *,
     # phases; each phase ends with one scalar-bundle readback so the spans
     # measure real device time (the rdtsc-checkpoint analog — dispatch is
     # async and block_until_ready is not a reliable fence here).
-    from ..utils.timing import fence_outputs
-
     with phase("split_build"):
         parts_build = pbuild.split(tbuild)
         fence_outputs(parts_build.table.columns)
@@ -133,9 +131,9 @@ def run_multijoin(conf: Union[str, Dict[str, Any]], *,
         fence_outputs(parts_probe.table.columns)
     with phase("build"):
         joiner.build(parts_build)
-        fence_outputs([getattr(joiner, a) for a in
-                       ("_build_keys_sorted", "_build_perm", "_flat_comp")
-                       if hasattr(joiner, a)])
+        fence_outputs([getattr(joiner, a, None) for a in
+                       ("_build_keys_sorted", "_build_perm", "_flat_comp",
+                        "_build_payload")])
     with phase("probe"):
         output = joiner.probe(parts_probe)
         fence_outputs(output.columns)

@@ -48,7 +48,10 @@ class PartitionedTable:
     table: Table
     sizes: np.ndarray      # (nparts,) int64
     offsets: np.ndarray    # (nparts,) int64 exclusive prefix sums
-    perm: np.ndarray       # original row index of each reordered row
+    perm: "np.ndarray | jax.Array"  # original row index of each reordered
+                           # row — device-resident from the hash
+                           # partitioners (never pulled through the tunnel),
+                           # host numpy from the trivial ones
 
     @property
     def nparts(self) -> int:

@@ -54,3 +54,38 @@ def test_zipf_probe_end_to_end(capsys):
     main(["--algo", "NPO", "-r", "1024", "-s", "1024", "-z", "0.9"])
     d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert d["totalMatches"] == 1024
+
+
+def test_mc_zero_skew_is_fk():
+    """mc treats skew == 0 as the uniform FK generator (main.c:403-411)."""
+    cfg, _ = parse_args(["--algo", "PRO", "-r", "1024", "-s", "1024",
+                         "-z", "0"])
+    assert cfg.s_distr == Distribution.FK
+
+
+def test_mc_nonunique_s_side():
+    """--non-unique: S is also nonunique with maxid = r_size
+    (mc/src/main.c:398-401)."""
+    import numpy as np
+    from htm_hashjoin_tpu.data.generators import build_relations
+    cfg, _ = parse_args(["--non-unique", "-r", "1024", "-s", "2048"])
+    assert cfg.s_distr == Distribution.NONUNIQUE
+    r, s = build_relations(cfg)
+    sk = np.asarray(s.keys)
+    assert sk.max() <= 1024 and len(np.unique(sk)) < 2048
+
+
+def test_mc_fullrange_fk_from_actual_r():
+    """--full-range: R spans the full int range; S draws from R's ACTUAL
+    keys (fk_from_pk over relR, main.c:393-395) so every S key matches."""
+    import json
+    cfg, _ = parse_args(["--full-range", "-r", "1024", "-s", "2048"])
+    assert cfg.data_distr == Distribution.NONUNIQUE
+    assert cfg.distinct_keys == 2**31 - 2
+    main(["--algo", "NPO", "--full-range", "-r", "1024", "-s", "2048"])
+
+
+def test_mc_nthreads_alone_triggers_mc_defaults():
+    cfg, _ = parse_args(["--algo", "PRO", "-n", "4"])
+    assert cfg.data_distr == Distribution.PK
+    assert cfg.s_distr == Distribution.FK

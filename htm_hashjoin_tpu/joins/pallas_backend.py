@@ -25,8 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pallas.join_kernels import (MAXI32, OV_ROWS, banded_count,
-                                       banded_count_narrow, sort_tiles,
-                                       tile_stats)
+                                       banded_count_narrow, fused_sort_count,
+                                       sort_tiles, tile_stats)
 from ..ops import probe as probe_ops
 
 LANES = 128
@@ -130,6 +130,19 @@ def _sum_i64(x):
     return jnp.sum(x.astype(jnp.int64))
 
 
+@functools.partial(jax.jit, static_argnames=("rows_per_tile",))
+def _tile_minmax(r2d, rows_per_tile: int):
+    """Per-tile [min, max-excluding-padding] of the UNSORTED input — sort-
+    invariant, so the S-band offsets can be computed before sorting (what
+    lets the fused kernel exist)."""
+    f = r2d.shape[0] // rows_per_tile
+    tiles = r2d.reshape(f, rows_per_tile * LANES)
+    mins = jnp.min(tiles, axis=1)
+    maxs = jnp.max(jnp.where(tiles == MAXI32, jnp.int32(-(1 << 31)), tiles),
+                   axis=1)
+    return mins, maxs
+
+
 def prepare_probe_side(skeys_sorted: jax.Array, tile: int = DEFAULT_TILE,
                        max_chunks: int = 4) -> jax.Array:
     """Tile and end-pad sorted S once (reusable across probes)."""
@@ -216,8 +229,28 @@ def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
 
     narrow=True routes through the single-merge narrow-band kernel (half the
     VPU work); its per-tile exactness flags feed the same repair path as
-    band overflow."""
+    band overflow.  Narrow non-presorted plans take the FUSED kernel: band
+    offsets come from the sort-invariant per-tile min/max of the unsorted
+    input, so one kernel sorts each tile and counts it immediately — no
+    global sort→offsets→count barrier, no extra HBM round trip."""
     rows_per_tile = tile // LANES
+    if narrow and method != "presorted":
+        mins, maxs = _tile_minmax(r2d, rows_per_tile)
+        off, end = _slice_offsets(skeys_sorted, mins, maxs)
+        row_off = off // LANES
+        rows_needed = jnp.maximum((end + LANES - 1) // LANES - row_off, 0)
+        sorted2d, stats, counts, flags = fused_sort_count(
+            r2d, s2d, row_off.astype(jnp.int32),
+            rows_needed.astype(jnp.int32), tile=tile, method=method,
+            passes=max(1, passes), unique_both=unique_both,
+            interpret=interpret)
+        viols = stats[:, 2].astype(jnp.int64)
+        bad = flags[:, 0] > 0
+        matches = _sum_i64(counts)
+        out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
+        in_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
+        return (matches, _sum_i64(viols), _sum_i64(bad), out_sum, in_sum,
+                sorted2d, off, end, bad)
     if method == "presorted":     # globally sorted input is tile-sorted
         sorted2d = r2d
         mins, maxs, viols = tile_stats(sorted2d, rows_per_tile)

@@ -591,6 +591,223 @@ def banded_count_narrow(*args, **kwargs):
 
 
 # ---------------------------------------------------------------------------
+# Kernel D: FUSED sort + narrow banded count
+# ---------------------------------------------------------------------------
+#
+# The two-kernel pipeline (sort_tiles → XLA stats/offsets → count) serializes
+# on a global barrier: the count kernel cannot start until the whole sorted
+# relation is written back and re-read.  But the count's only cross-tile
+# dependency is each tile's S-band offset, and a tile's [min, max] is
+# SORT-INVARIANT — so the offsets are computed in XLA from the UNSORTED
+# input, scalar-prefetched, and one kernel then sorts each tile in VMEM and
+# immediately merges it against its S band: the sorted relation never makes
+# an extra HBM round trip, and the per-tile loop is bound by
+# max(DMA, sort+count) instead of the two kernels' sum of overheads.
+#
+# Body = _sort_megakernel's sort/stats + _count_narrow_megakernel's
+# merge/overhang/flags, unchanged semantics: stats lane 2 carries the
+# optimistic sorter's violations (abort → caller retries exact), flags mark
+# tiles needing the host recount (band overflow / overhang escape).
+
+
+def _fused_sort_count_kernel(row_off_smem, rows_needed_smem, r_hbm, s_hbm,
+                             out_hbm, stats_ref, cnt_ref, flags_ref,
+                             rbuf, obuf, sbuf, acc, sem_in, sem_out, sem_s, *,
+                             n_tiles: int, rows_per_tile: int, method: str,
+                             passes: int, unique_both: bool):
+    merged_rows = 2 * rows_per_tile
+    rpt = rows_per_tile
+    two = jnp.int32(2)
+    acc[:] = jnp.zeros((merged_rows, LANES), jnp.int32)
+    ones_m = jnp.ones((merged_rows, LANES), jnp.int32)
+    zeros_m = jnp.zeros((merged_rows, LANES), jnp.int32)
+    neg_m = -ones_m
+    ones_s = jnp.ones((2 * OV_ROWS, LANES), jnp.int32)
+    zeros_s = jnp.zeros((2 * OV_ROWS, LANES), jnp.int32)
+    neg_s = -ones_s
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rpt, LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rpt, LANES), 0)
+    is_last = (row == rpt - 1) & (lane == LANES - 1)
+    last_lane = lane == LANES - 1
+    srow = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    def tile_stats_row(v):
+        mn = jnp.min(v)
+        mx = jnp.max(jnp.where(v == MAXI32, jnp.int32(-(1 << 31)), v))
+        if method == "bitonic":
+            cnt = jnp.int32(0)
+        else:
+            nxt = pltpu.roll(v, jnp.int32(LANES - 1), axis=1)
+            nxt = jnp.where(
+                last_lane, pltpu.roll(nxt, jnp.int32(rpt - 1), axis=0), nxt)
+            bad = (v > nxt) & ~is_last
+            y = jnp.where(bad, jnp.int32(1), jnp.int32(0))
+            step = 8
+            while step < rpt:
+                y = y + pltpu.roll(y, jnp.int32(step), axis=0)
+                step *= 2
+            cnt = linops.sum_all(y[:8, :])
+        return jnp.where(srow == 0, mn,
+                         jnp.where(srow == 1, mx,
+                                   jnp.where(srow == 2, cnt, jnp.int32(0))))
+
+    def contributions(merged, ones, zeros, neg):
+        if unique_both:
+            prev = linops.lshift(merged, -1, jnp.int32(-2))
+            hit = ((merged - prev) == 1) & ((merged & 3) == 1)
+            return jnp.where(hit, ones, zeros)
+        tag = merged & 3
+        rcnt = jnp.where(tag == 0, ones, zeros)
+        a = linops.cumsum_linear(rcnt)
+        keyv = merged >> 2
+        run_start = keyv != linops.lshift(keyv, -1, jnp.int32(-1))
+        prev_a = linops.cummax_linear(jnp.where(run_start, a - rcnt, neg))
+        return jnp.where(tag == 1, a - prev_a, zeros)
+
+    def in_dma(slot, t):
+        return pltpu.make_async_copy(
+            r_hbm.at[pl.ds(t * rpt, rpt), :], rbuf.at[slot], sem_in.at[slot])
+
+    def out_dma(slot, t):
+        return pltpu.make_async_copy(
+            obuf.at[slot], out_hbm.at[pl.ds(t * rpt, rpt), :],
+            sem_out.at[slot])
+
+    def s_dma(slot, t):
+        return pltpu.make_async_copy(
+            s_hbm.at[pl.ds(row_off_smem[t], rpt + OV_ROWS), :],
+            sbuf.at[slot], sem_s.at[slot])
+
+    in_dma(jnp.int32(0), jnp.int32(0)).start()
+    s_dma(jnp.int32(0), jnp.int32(0)).start()
+
+    def body(t, carry):
+        slot = jax.lax.rem(t, two)
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            in_dma(jax.lax.rem(t + 1, two), t + 1).start()
+            s_dma(jax.lax.rem(t + 1, two), t + 1).start()
+
+        in_dma(slot, t).wait()
+        v = rbuf[slot]
+        if method == "bitonic":
+            v = linops.bitonic_sort_keys(v)
+        elif method == "blocks":
+            v = linops.shifted_block_sort_keys(v, passes)
+        else:
+            v = linops.odd_even_passes_keys(v, passes)
+        stats_ref[pl.ds(t, 1), :] = tile_stats_row(v)
+
+        @pl.when(t >= 2)
+        def _():
+            out_dma(slot, t - 2).wait()
+
+        obuf[slot] = v
+        out_dma(slot, t).start()
+
+        s_dma(slot, t).wait()
+        s_all = sbuf[slot]
+        comp_r = jnp.where(v >= PACK_LIMIT, jnp.int32(MAXI32), v * 4)
+        rev_r = linops.lreverse(comp_r)
+        sk0 = s_all[:rpt]
+        comp_s0 = jnp.where(sk0 >= PACK_LIMIT, jnp.int32(MAXI32),
+                            sk0 * 4 + 1)
+        merged = linops.bitonic_merge_keys(
+            jnp.concatenate([comp_s0, rev_r], axis=0))
+        contrib0 = contributions(merged, ones_m, zeros_m, neg_m)
+
+        skm = s_all[rpt:]
+        ovh_min = jnp.min(skm[0:1, :])
+        mx_pre = jnp.max(v[rpt - OV_ROWS - 1:rpt - OV_ROWS, :])
+        rk_top = v[rpt - OV_ROWS:, :]
+        comp_rm = jnp.where(rk_top >= PACK_LIMIT, jnp.int32(MAXI32),
+                            rk_top * 4)
+        comp_sm = jnp.where(skm >= PACK_LIMIT, jnp.int32(MAXI32),
+                            skm * 4 + 1)
+        mergedm = linops.bitonic_merge_keys(
+            jnp.concatenate([comp_sm, linops.lreverse(comp_rm)], axis=0))
+        contribm = contributions(mergedm, ones_s, zeros_s, neg_s)
+
+        ok = (mx_pre < ovh_min) & (rows_needed_smem[t] <= rpt + OV_ROWS)
+        acc[:] = acc[:] + jnp.where(ok, contrib0, zeros_m)
+        acc[0:2 * OV_ROWS, :] = (acc[0:2 * OV_ROWS, :]
+                                 + jnp.where(ok, contribm, zeros_s))
+        flag = jnp.where(ok, jnp.int32(0), jnp.int32(1))
+        flags_ref[pl.ds(t, 1), :] = jnp.where(srow == 0, flag, jnp.int32(0))
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_tiles), body, jnp.int32(0))
+    last = jnp.int32(n_tiles - 1)
+    out_dma(jax.lax.rem(last, two), last).wait()
+    if n_tiles >= 2:
+        out_dma(jax.lax.rem(last - 1, two), last - 1).wait()
+    y = acc[:]
+    s = 8
+    while s < merged_rows:
+        y = y + pltpu.roll(y, jnp.int32(s), axis=0)
+        s *= 2
+    cnt_ref[:] = y[:8, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "method", "passes", "unique_both",
+                                    "interpret"))
+def _fused_sort_count_jit(r2d: jax.Array, s2d: jax.Array, row_off: jax.Array,
+                          rows_needed: jax.Array, *, tile: int = 65536,
+                          method: str = "bitonic", passes: int = 1,
+                          unique_both: bool = False,
+                          interpret: bool = False):
+    rows_per_tile = tile // LANES
+    assert rows_per_tile > OV_ROWS
+    n_tiles = r2d.shape[0] // rows_per_tile
+    kernel = functools.partial(_fused_sort_count_kernel, n_tiles=n_tiles,
+                               rows_per_tile=rows_per_tile, method=method,
+                               passes=max(1, passes), unique_both=unique_both)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct(r2d.shape, jnp.int32),
+                   jax.ShapeDtypeStruct((n_tiles, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((8, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((n_tiles, LANES), jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((2, rows_per_tile + OV_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((2 * rows_per_tile, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(row_off, rows_needed, r2d, s2d)
+
+
+def fused_sort_count(*args, **kwargs):
+    """Fused tile-sort + narrow banded count.
+
+    args: r2d (F*rows_per_tile, 128) UNSORTED MAXI32-padded; s2d globally
+    sorted, end-padded with >= OV_ROWS rows of MAXI32; row_off (F,) int32
+    S-band start rows (from the sort-invariant per-tile min); rows_needed
+    (F,) int32 band row counts.
+
+    Returns (sorted2d, stats (F,128) [min,max,violations], counts (8,128),
+    flags (F,128)) — flags[:,0] == 1 marks tiles to recount exactly."""
+    return call_with_big_stack(_fused_sort_count_jit, *args, **kwargs)
+
+
+# ---------------------------------------------------------------------------
 # Kernel B: banded merge-count
 # ---------------------------------------------------------------------------
 

@@ -79,9 +79,19 @@ def _expand_matches(lo: jax.Array, hi: jax.Array, cap: int):
                                jnp.cumsum(counts)])
     total = offsets[-1]
     k = jnp.arange(cap, dtype=jnp.int64)
-    pi = jnp.searchsorted(offsets, k, side="right") - 1
-    pi = jnp.clip(pi, 0, lo.shape[0] - 1).astype(jnp.int64)
-    build_rank = lo[pi].astype(jnp.int64) + (k - offsets[pi])
+    # owner row of slot k = last i with offsets[i] <= k.  searchsorted here
+    # is 24 binary-search gather passes over cap elements (~16 s at 16M on
+    # TPU); since k is just arange(cap), a scatter-max of row ids at range
+    # starts + one cummax computes the same thing in one pass.  Empty ranges
+    # scatter to the same slot as their successor and lose the max — exactly
+    # the searchsorted(side='right') owner.
+    starts = offsets[:-1].astype(jnp.int32)    # cap < 2^31
+    marks = jnp.zeros((cap,), jnp.int32).at[starts].max(
+        jnp.arange(lo.shape[0], dtype=jnp.int32), mode="drop")
+    pi = jax.lax.cummax(marks).astype(jnp.int64)
+    # one fused gather: build_rank = k + (lo - range_start)[owner]
+    base = lo.astype(jnp.int64) - offsets[:-1]
+    build_rank = k + base[pi]
     valid = k < total
     probe_idx = jnp.where(valid, pi, -1)
     build_rank = jnp.where(valid, build_rank, -1)

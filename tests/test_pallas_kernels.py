@@ -284,3 +284,53 @@ def test_global_sort_tiles():
                                                interpret=True)).ravel()
             np.testing.assert_array_equal(out[:n], np.sort(k))
             assert (out[n:] == MAXI32).all()
+
+
+def test_fused_sort_count_matches_two_kernel():
+    """Kernel D (fused sort+count) must agree with the two-kernel pipeline
+    on every sorter method, for unique and duplicate keys, including the
+    per-tile flags that drive the repair path."""
+    import numpy as np
+    from htm_hashjoin_tpu.joins.pallas_backend import (
+        _slice_offsets, _tile_minmax, prepare_probe_side, to_tiles_2d)
+    from htm_hashjoin_tpu.ops.pallas.join_kernels import (
+        LANES, fused_sort_count, sort_tiles, banded_count_narrow)
+
+    tile = 2048
+    rows_per_tile = tile // LANES
+    rng = np.random.default_rng(11)
+    n = 3 * tile + 513
+    for unique, method, passes in [(True, "oddeven", 4), (True, "blocks", 16),
+                                   (True, "bitonic", 1),
+                                   (False, "bitonic", 1)]:
+        if unique:
+            rkeys = rng.permutation(n).astype(np.int32) + 1
+            skeys = np.arange(1, n + 1, dtype=np.int32)
+            if method != "bitonic":   # bounded displacement for optimistic
+                rkeys = np.arange(1, n + 1, dtype=np.int32)
+                idx = np.arange(n) + rng.integers(0, passes, n)
+                rkeys = rkeys[np.argsort(idx, kind="stable")]
+        else:
+            rkeys = rng.integers(1, n // 3, n).astype(np.int32)
+            skeys = np.sort(rng.integers(1, n // 3, n).astype(np.int32))
+        r2d = to_tiles_2d(jnp.asarray(rkeys), tile)
+        s2d = prepare_probe_side(jnp.asarray(skeys), tile)
+        mins, maxs = _tile_minmax(r2d, rows_per_tile)
+        off, end = _slice_offsets(jnp.asarray(skeys), mins, maxs)
+        row_off = (off // LANES).astype(jnp.int32)
+        rows_needed = jnp.maximum(
+            (end + LANES - 1) // LANES - row_off, 0).astype(jnp.int32)
+        sorted_f, stats_f, counts_f, flags_f = fused_sort_count(
+            r2d, s2d, row_off, rows_needed, tile=tile, method=method,
+            passes=passes, unique_both=unique, interpret=True)
+        sorted_r, stats_r = sort_tiles(r2d, tile=tile, method=method,
+                                       passes=passes, interpret=True)
+        counts_r, flags_r = banded_count_narrow(
+            sorted_r, s2d, row_off, rows_needed, tile=tile,
+            unique_both=unique, interpret=True)
+        assert np.array_equal(np.asarray(sorted_f), np.asarray(sorted_r))
+        assert np.array_equal(np.asarray(counts_f), np.asarray(counts_r))
+        assert np.array_equal(np.asarray(flags_f[:, 0]),
+                              np.asarray(flags_r[:, 0]))
+        assert np.array_equal(np.asarray(stats_f[:, :3]),
+                              np.asarray(stats_r[:, :3]))

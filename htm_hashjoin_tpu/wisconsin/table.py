@@ -26,6 +26,7 @@ What survives from the reference, re-expressed:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -184,7 +185,23 @@ class WriteTable(Table):
     def load(self, path: str, separators: str = "|") -> None:
         """Field-separated text loader (Loader::load, loader.cpp; conf
         'file:'/'path:' entries).  .npz files load binary-fast; integer
-        schemas parse through the native parallel loader when built."""
+        schemas parse through the native parallel loader when built;
+        .bz2 files decompress transparently (the reference vendors
+        bzip2-1.0.5 for exactly this, mc/wisconsin-src Makefile)."""
+        if path.endswith(".bz2"):
+            import bz2
+            import tempfile
+            with bz2.open(path, "rt") as src, \
+                    tempfile.NamedTemporaryFile("w", suffix=".tbl",
+                                                delete=False) as tmp:
+                for chunk in iter(lambda: src.read(1 << 22), ""):
+                    tmp.write(chunk)
+                name = tmp.name
+            try:
+                self.load(name, separators)
+            finally:
+                os.unlink(name)
+            return
         if path.endswith(".npz"):
             with np.load(path, allow_pickle=True) as data:
                 self.append_batch([data[k] for k in data.files])

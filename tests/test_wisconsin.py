@@ -515,3 +515,19 @@ def test_multijoin_zipf_skew_conf(tmp_path):
     res = run_multijoin(conf, base_path=str(tmp_path))
     assert res.output_rows == 16384       # zipf FK still joins every tuple
     assert res.stats.stolen_balance is not None
+
+
+def test_load_bz2(tmp_path):
+    """Transparent bzip2 decompression (the reference vendors bzip2-1.0.5
+    for compressed .tbl loads)."""
+    import bz2
+    from htm_hashjoin_tpu.wisconsin.schema import Schema
+    from htm_hashjoin_tpu.wisconsin.table import WriteTable
+    p = tmp_path / "t.tbl.bz2"
+    with bz2.open(p, "wt") as f:
+        for i in range(1, 101):
+            f.write(f"{i}|{i * 10}\n")
+    wt = WriteTable(Schema.create(["long", "long"]))
+    wt.load(str(p))
+    assert wt.num_rows == 100
+    assert int(np.asarray(wt.column(2))[-1]) == 1000

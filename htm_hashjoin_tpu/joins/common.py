@@ -125,7 +125,7 @@ def _max_key_bound(cfg: JoinConfig) -> int:
 def use_pallas_engine(cfg: JoinConfig, s: Optional[Relation]) -> bool:
     if cfg.backend == "xla" or cfg.mesh_shape:
         return False
-    if s is None or not cfg.enable_probe or not s.assume_sorted:
+    if s is None or not cfg.enable_probe:
         return False
     if _max_key_bound(cfg) >= _PACK_LIMIT:
         return False
@@ -133,6 +133,12 @@ def use_pallas_engine(cfg: JoinConfig, s: Optional[Relation]) -> bool:
         return True
     # auto: megakernels on accelerators only (interpret mode is for tests)
     return jax.default_backend() != "cpu"
+
+
+def plan_sort_s(s: Relation) -> bool:
+    """Unsorted probe sides (zipf/fk/nonunique S, mc/src/main.c:393-412) get
+    a device global sort before the banded count (sort_probe_side)."""
+    return not s.assume_sorted
 
 
 def use_pallas_engine_build(cfg: JoinConfig) -> bool:

@@ -141,6 +141,7 @@ def _htm_join_pallas(r: Relation, s: Relation, cfg: JoinConfig) -> JoinMetrics:
     out = banded_join_pipelined(r.keys, s.keys, locality_window=plan.window,
                                 presort=plan.presort,
                                 presorted=plan.presorted, narrow=plan.narrow,
+                                sort_s=not s.assume_sorted,
                                 unique_both=keys_are_unique(cfg),
                                 interpret=interpret)
     elapsed_us = (time.perf_counter() - t0) * 1e6

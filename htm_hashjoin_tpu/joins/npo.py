@@ -78,6 +78,7 @@ def npo_join(r: Relation, s: Optional[Relation] = None,
                                     presort=plan.presort,
                                     presorted=plan.presorted,
                                     narrow=plan.narrow,
+                                    sort_s=not s.assume_sorted,
                                     unique_both=keys_are_unique(cfg),
                                     interpret=interpret)
         elapsed_us = (time.perf_counter() - t0) * 1e6

@@ -358,11 +358,29 @@ def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
                              resorted, int(bundle[2]))
 
 
+def sort_probe_side(skeys: jax.Array, tile: int = DEFAULT_TILE,
+                    max_chunks: int = 4, interpret: bool = False):
+    """Globally sort an UNSORTED probe side on device (the zipf/fk/nonunique
+    S relations arrive unsorted, mc/src/main.c:393-412) and produce the
+    (skeys_sorted, s2d) pair the banded engine consumes.  Sorting S is the
+    probe-side half of the sort-merge plan — one 197 ms megakernel pass at
+    2^27 instead of forfeiting the banded engine entirely."""
+    from ..ops.pallas.join_kernels import global_sort_tiles
+    rows_per_tile = tile // LANES
+    s_sorted2d = global_sort_tiles(to_tiles_2d_pow2(skeys, tile), tile=tile,
+                                   interpret=interpret)
+    skeys_sorted = s_sorted2d.reshape(-1)[: skeys.shape[0]]
+    s2d = jnp.concatenate(
+        [s_sorted2d, jnp.full((max_chunks * rows_per_tile, LANES), MAXI32,
+                              jnp.int32)])
+    return skeys_sorted, s2d
+
+
 def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                           tile: int = DEFAULT_TILE,
                           locality_window: Optional[int] = None,
                           presort: bool = False, presorted: bool = False,
-                          unique_both: bool = False,
+                          sort_s: bool = False, unique_both: bool = False,
                           max_chunks: int = 4, narrow: Optional[bool] = None,
                           interpret: bool = False,
                           s2d: Optional[jax.Array] = None
@@ -383,7 +401,12 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
     that break the expectation are repaired host-side, exactly).
     ``presorted`` = generator-certified sorted R: skip the sort megakernel,
     take the tile_stats directory straight off the input (violations there
-    surface in the readback as failedTransactions)."""
+    surface in the readback as failedTransactions).
+    ``sort_s`` = the probe side arrives UNSORTED (zipf/fk/nonunique S):
+    globally sort it on device first."""
+    if sort_s:
+        skeys_sorted, s2d = sort_probe_side(skeys_sorted, tile, max_chunks,
+                                            interpret=interpret)
     if presorted:
         r2d = to_tiles_2d(rkeys, tile)
         method, passes = "presorted", 0
@@ -427,17 +450,24 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
     matches_i = int(bundle[0])
     overflow_i = int(bundle[2])
     n_tiles = r2d.shape[0] // (tile // LANES)
-    if overflow_i > max(4, n_tiles // 8) and not presort:
-        # mass overflow means the plan was wrong for this data (bands wider
-        # than the kernel certifies everywhere, e.g. a mis-sized locality
-        # window): one global re-sort beats thousands of per-tile host
-        # round trips.  The abort→replan analog of HTM_SWITCH, not a repair.
-        out = banded_join_pipelined(rkeys, skeys_sorted, tile=tile,
-                                    presort=True, unique_both=unique_both,
-                                    max_chunks=max_chunks, narrow=narrow,
-                                    interpret=interpret, s2d=s2d)
-        return out._replace(violations=int(bundle[1]),
-                            overflow_tiles=overflow_i, resorted=True)
+    if overflow_i > max(4, n_tiles // 8):
+        # mass overflow means the plan was wrong for this data: bands wider
+        # than the kernel certifies everywhere — a mis-sized locality window
+        # (→ replan with a global sort), or heavy-hitter skew where one key
+        # run spans many tiles (→ the fused-tagged-sort count, which is
+        # skew-oblivious).  One replan beats thousands of per-tile host
+        # round trips — the abort→replan analog of HTM_SWITCH, not a repair.
+        if not presort and not presorted:
+            out = banded_join_pipelined(rkeys, skeys_sorted, tile=tile,
+                                        presort=True,
+                                        unique_both=unique_both,
+                                        max_chunks=max_chunks, narrow=narrow,
+                                        interpret=interpret, s2d=s2d)
+            return out._replace(violations=int(bundle[1]),
+                                overflow_tiles=overflow_i, resorted=True)
+        matches_i = int(probe_ops.probe_sorted(rkeys, skeys_sorted))
+        return BandedJoinOutcome(matches_i, int(bundle[1]), overflow_i,
+                                 int(bundle[3]), True, int(bundle[4]))
     if overflow_i:                      # skew spill → XLA per-tile fallback
         bad_tiles = np.nonzero(np.asarray(bad))[0]
         flat = sorted2d.reshape(-1)

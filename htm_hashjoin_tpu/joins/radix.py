@@ -102,6 +102,7 @@ def radix_join(r: Relation, s: Optional[Relation] = None,
         interpret = jax.default_backend() == "cpu"
         t0 = time.perf_counter()
         out = banded_join_pipelined(r.keys, s.keys, presort=True,
+                                    sort_s=not s.assume_sorted,
                                     unique_both=keys_are_unique(cfg),
                                     interpret=interpret)
         elapsed_us = (time.perf_counter() - t0) * 1e6

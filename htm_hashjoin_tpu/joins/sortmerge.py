@@ -54,6 +54,7 @@ def sortmerge_join(r: Relation, s: Optional[Relation] = None,
         # O(n) pass on sorted runs the reference leans on (SortMerge.cpp:18)
         out = banded_join_pipelined(r.keys, s.keys, presort=not sorted_in,
                                     presorted=sorted_in,
+                                    sort_s=not s.assume_sorted,
                                     unique_both=keys_are_unique(cfg),
                                     interpret=interpret)
         elapsed_us = (time.perf_counter() - t0) * 1e6

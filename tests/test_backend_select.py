@@ -53,10 +53,11 @@ def test_forced_pallas_matches_xla_radix_duplicates():
 
 
 def test_eligibility_rules():
-    # unsorted probe side (zipf S is FK-shuffled) -> ineligible
+    # unsorted probe side (zipf S is FK-shuffled) -> eligible WITH sort_s
+    from htm_hashjoin_tpu.joins.common import plan_sort_s
     cfg = _cfg(data_distr=Distribution.ZIPF, distinct_keys=N, backend="pallas")
     _, s = build_relations(cfg)
-    assert not use_pallas_engine(cfg, s)
+    assert use_pallas_engine(cfg, s) and plan_sort_s(s)
     # RANDOM keys exceed the pack limit -> ineligible
     cfg = _cfg(data_distr=Distribution.RANDOM, backend="pallas")
     _, s = build_relations(cfg)
@@ -213,3 +214,24 @@ def test_window_boundary_routes_wide_band():
         assert m.extra["backend"] == "pallas_banded", w
         assert m.totalMatches == N and m.inputSum == m.outputSum
         assert m.conflictCount == 0, w   # no band overflow: plan certifies
+
+
+def test_forced_pallas_unsorted_s_duplicates():
+    """Unsorted probe sides (zipf/fk/nonunique S) now reach the banded
+    engine via a device global sort of S — matches and conservation must
+    equal the XLA paths exactly, duplicates included."""
+    from htm_hashjoin_tpu.joins import npo_join, sortmerge_join
+    for join, algo in ((htm_join, Algo.HTM), (npo_join, Algo.NPO),
+                       (sortmerge_join, Algo.SORTMERGE),
+                       (radix_join, Algo.RADIX)):
+        for dist, kw in [(Distribution.ZIPF, dict(distinct_keys=N // 8)),
+                         (Distribution.FK, {}),
+                         (Distribution.UNIFORM, dict(distinct_keys=N // 4))]:
+            cfg_x = _cfg(algo=algo, data_distr=dist, backend="xla", **kw)
+            cfg_p = _cfg(algo=algo, data_distr=dist, backend="pallas", **kw)
+            r, s = build_relations(cfg_x)
+            mx = join(r, s, cfg_x)
+            mp = join(r, s, cfg_p)
+            assert mp.extra["backend"] == "pallas_banded", (algo, dist)
+            assert mp.totalMatches == mx.totalMatches, (algo, dist)
+            assert mp.inputSum == mp.outputSum == mx.inputSum, (algo, dist)

@@ -33,6 +33,21 @@ def keys_are_unique(cfg: JoinConfig) -> bool:
     return cfg.data_distr in _UNIQUE_DISTS
 
 
+def keys_unique_both(cfg: JoinConfig) -> bool:
+    """BOTH sides certified unique — the precondition of the kernels'
+    single-shift count formula (unique_both).  R-side uniqueness alone is
+    NOT enough: a duplicate-heavy S (s_distr zipf/nonunique, or fk with
+    s_size > r_size) silently undercounts under that formula."""
+    if not keys_are_unique(cfg):
+        return False
+    if cfg.s_distr is None or cfg.s_distr == Distribution.SORTED:
+        return True   # driver rule: S = sorted 1..s_size (unique)
+    if cfg.s_distr == Distribution.FK:
+        # fk multiplicity is ceil(s/r): unique iff s_size <= r_size
+        return (cfg.s_size or 0) <= cfg.r_size
+    return False
+
+
 def table_size_for(cfg: JoinConfig) -> int:
     """Flat-table size: scaleOutput × rSize rounded to a power of two
     (AtomicHashBuild.hpp:21-25)."""
@@ -168,12 +183,13 @@ def route_unique_pallas(cfg: JoinConfig, s: Optional[Relation]) -> bool:
 def pallas_unique_join(algo: str, r: Relation, s: Optional[Relation],
                        cfg: JoinConfig) -> JoinMetrics:
     """Banded engine for the identity-hash builds (atomic/nocc) on
-    generator-certified unique keys.  With unique keys the open-addressing
-    table at 2x load has no losses and no budget exhaustion (keys 1..n map
-    to distinct slots under key & (2n-1)), so conflictCount and
-    failedTransactions are identically 0 on both formulations and the
-    sorted-tile engine is exact.  Duplicate distributions never reach here
-    (use_pallas_engine* gate on keys_are_unique)."""
+    generator-certified unique BUILD keys.  With unique keys the
+    open-addressing table at 2x load has no losses and no budget exhaustion
+    (keys 1..n map to distinct slots under key & (2n-1)), so conflictCount
+    and failedTransactions are identically 0 on both formulations and the
+    sorted-tile engine is exact.  Duplicate R distributions never reach here
+    (use_pallas_engine* gate on keys_are_unique); an unsorted or
+    duplicate-heavy S takes the device sort and the general count."""
     import time
 
     from .pallas_backend import banded_build_pipelined, banded_join_pipelined
@@ -188,7 +204,9 @@ def pallas_unique_join(algo: str, r: Relation, s: Optional[Relation],
                                     presort=plan.presort,
                                     presorted=plan.presorted,
                                     narrow=plan.narrow,
-                                    unique_both=True, interpret=interpret)
+                                    sort_s=not s.assume_sorted,
+                                    unique_both=keys_unique_both(cfg),
+                                    interpret=interpret)
     else:
         out = banded_build_pipelined(r.keys, locality_window=plan.window,
                                      presort=plan.presort,

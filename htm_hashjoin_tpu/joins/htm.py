@@ -33,8 +33,8 @@ from ..ops import insert, probe
 from ..utils.metrics import JoinMetrics
 from ..utils.timing import PhaseTimer
 from .common import (SpillState, finish_metrics, htm_num_buckets,
-                     keys_are_unique, pallas_metrics, pallas_plan,
-                     resolve_relations, use_pallas_engine,
+                     keys_are_unique, keys_unique_both, pallas_metrics,
+                     pallas_plan, resolve_relations, use_pallas_engine,
                      use_pallas_engine_build)
 
 
@@ -142,7 +142,7 @@ def _htm_join_pallas(r: Relation, s: Relation, cfg: JoinConfig) -> JoinMetrics:
                                 presort=plan.presort,
                                 presorted=plan.presorted, narrow=plan.narrow,
                                 sort_s=not s.assume_sorted,
-                                unique_both=keys_are_unique(cfg),
+                                unique_both=keys_unique_both(cfg),
                                 interpret=interpret)
     elapsed_us = (time.perf_counter() - t0) * 1e6
     return pallas_metrics(cfg, "htm", out, elapsed_us, out.matches)

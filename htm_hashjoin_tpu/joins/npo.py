@@ -28,7 +28,8 @@ from ..ops import insert, probe
 from ..ops.hashing import identity_hash
 from ..utils.metrics import JoinMetrics
 from ..utils.timing import PhaseTimer
-from .common import SpillState, finish_metrics, keys_are_unique, resolve_relations
+from .common import (SpillState, finish_metrics, keys_are_unique,
+                     keys_unique_both, resolve_relations)
 
 BUCKET_SIZE = 2  # npj_params.h:18-20
 
@@ -79,7 +80,7 @@ def npo_join(r: Relation, s: Optional[Relation] = None,
                                     presorted=plan.presorted,
                                     narrow=plan.narrow,
                                     sort_s=not s.assume_sorted,
-                                    unique_both=keys_are_unique(cfg),
+                                    unique_both=keys_unique_both(cfg),
                                     interpret=interpret)
         elapsed_us = (time.perf_counter() - t0) * 1e6
         m = pallas_metrics(cfg, "npo", out, elapsed_us, out.matches)

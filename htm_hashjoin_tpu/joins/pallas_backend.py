@@ -145,11 +145,14 @@ def _tile_minmax(r2d, rows_per_tile: int):
 
 def prepare_probe_side(skeys_sorted: jax.Array, tile: int = DEFAULT_TILE,
                        max_chunks: int = 4) -> jax.Array:
-    """Tile and end-pad sorted S once (reusable across probes)."""
+    """Tile and end-pad sorted S once (reusable across probes).  Padding
+    covers the general kernel's max_chunks window AND the narrow/fused
+    kernels' OV_ROWS overhang past it (a row_off at the very end of S must
+    still have rpt+OV_ROWS readable rows)."""
     rows_per_tile = tile // LANES
     s2d = to_tiles_2d(skeys_sorted, tile)
     return jnp.concatenate(
-        [s2d, jnp.full((max_chunks * rows_per_tile, LANES), MAXI32,
+        [s2d, jnp.full((max_chunks * rows_per_tile + OV_ROWS, LANES), MAXI32,
                        jnp.int32)])
 
 
@@ -371,8 +374,8 @@ def sort_probe_side(skeys: jax.Array, tile: int = DEFAULT_TILE,
                                    interpret=interpret)
     skeys_sorted = s_sorted2d.reshape(-1)[: skeys.shape[0]]
     s2d = jnp.concatenate(
-        [s_sorted2d, jnp.full((max_chunks * rows_per_tile, LANES), MAXI32,
-                              jnp.int32)])
+        [s_sorted2d, jnp.full((max_chunks * rows_per_tile + OV_ROWS, LANES),
+                              MAXI32, jnp.int32)])
     return skeys_sorted, s2d
 
 
@@ -437,15 +440,18 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
     bundle = np.asarray(jnp.stack([matches, viols, overflow, out_sum,
                                    in_sum]))
     resorted = False
-    if method in ("oddeven", "blocks") and bundle[1] > 0:  # abort → retry
+    viols_i = int(bundle[1])   # abort count survives the retry (the
+                               # failedTransactions analog must report the
+                               # aborts that happened, not the retry's zero)
+    if method in ("oddeven", "blocks") and viols_i > 0:  # abort → retry
         res = _banded_join_device(r2d, s2d, skeys_sorted, tile=tile,
                                   method="bitonic", passes=0,
                                   max_chunks=max_chunks,
                                   unique_both=unique_both, narrow=narrow,
                                   interpret=interpret)
         matches, viols, overflow, out_sum, in_sum, sorted2d, off, end, bad = res
-        bundle = np.asarray(jnp.stack([matches, jnp.zeros_like(viols),
-                                       overflow, out_sum, in_sum]))
+        bundle = np.asarray(jnp.stack([matches, viols, overflow, out_sum,
+                                       in_sum]))
         resorted = True
     matches_i = int(bundle[0])
     overflow_i = int(bundle[2])
@@ -463,10 +469,10 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                                         unique_both=unique_both,
                                         max_chunks=max_chunks, narrow=narrow,
                                         interpret=interpret, s2d=s2d)
-            return out._replace(violations=int(bundle[1]),
+            return out._replace(violations=viols_i,
                                 overflow_tiles=overflow_i, resorted=True)
         matches_i = int(probe_ops.probe_sorted(rkeys, skeys_sorted))
-        return BandedJoinOutcome(matches_i, int(bundle[1]), overflow_i,
+        return BandedJoinOutcome(matches_i, viols_i, overflow_i,
                                  int(bundle[3]), True, int(bundle[4]))
     if overflow_i:                      # skew spill → XLA per-tile fallback
         bad_tiles = np.nonzero(np.asarray(bad))[0]
@@ -476,5 +482,5 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
             r_tile = jax.lax.dynamic_slice(flat, (int(t) * tile,), (tile,))
             s_slice = skeys_sorted[int(off_np[t]):int(end_np[t])]
             matches_i += int(probe_ops.probe_sorted(r_tile, s_slice))
-    return BandedJoinOutcome(matches_i, int(bundle[1]), overflow_i,
+    return BandedJoinOutcome(matches_i, viols_i, overflow_i,
                              int(bundle[3]), resorted, int(bundle[4]))

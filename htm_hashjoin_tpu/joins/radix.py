@@ -97,13 +97,13 @@ def radix_join(r: Relation, s: Optional[Relation] = None,
 
         from .pallas_backend import banded_join_pipelined
 
-        from .common import keys_are_unique
+        from .common import keys_unique_both
 
         interpret = jax.default_backend() == "cpu"
         t0 = time.perf_counter()
         out = banded_join_pipelined(r.keys, s.keys, presort=True,
                                     sort_s=not s.assume_sorted,
-                                    unique_both=keys_are_unique(cfg),
+                                    unique_both=keys_unique_both(cfg),
                                     interpret=interpret)
         elapsed_us = (time.perf_counter() - t0) * 1e6
         m = pallas_metrics(cfg, "radix", out, elapsed_us, out.matches)

@@ -45,7 +45,7 @@ def sortmerge_join(r: Relation, s: Optional[Relation] = None,
 
         from .pallas_backend import banded_join_pipelined
 
-        from .common import keys_are_unique
+        from .common import keys_unique_both
 
         interpret = jax.default_backend() == "cpu"
         sorted_in = cfg.data_distr == Distribution.SORTED
@@ -55,7 +55,7 @@ def sortmerge_join(r: Relation, s: Optional[Relation] = None,
         out = banded_join_pipelined(r.keys, s.keys, presort=not sorted_in,
                                     presorted=sorted_in,
                                     sort_s=not s.assume_sorted,
-                                    unique_both=keys_are_unique(cfg),
+                                    unique_both=keys_unique_both(cfg),
                                     interpret=interpret)
         elapsed_us = (time.perf_counter() - t0) * 1e6
         m = pallas_metrics(cfg, "sortmerge", out, elapsed_us, out.matches)

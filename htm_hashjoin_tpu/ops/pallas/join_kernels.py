@@ -91,23 +91,33 @@ def call_with_big_stack(fn, *args, **kwargs):
 
 
 # ---------------------------------------------------------------------------
-# Kernel A: streaming tile sort
+# Shared kernel bodies (one definition — these are the correctness-critical
+# cores; the sort and count megakernels must never diverge on them)
 # ---------------------------------------------------------------------------
 
-def _sort_megakernel(r_hbm, out_hbm, stats_ref, buf, obuf, sem_in, sem_out, *,
-                     n_tiles: int, rows_per_tile: int, method: str,
-                     passes: int):
-    """Double-buffered streaming sort: tile t+1's load and tile t-1's
-    writeback ride the DMA engines while tile t sorts in VMEM — the loop is
-    bound by max(DMA, sort) instead of their sum (serialized DMA latency
-    dominated the single-buffer version: ~2048 round trips per relation).
 
-    While each sorted tile is still in VMEM, its stats row is written to
-    stats_ref[t]: lane 0 = min key, lane 1 = max key (padding excluded),
-    lane 2 = sortedness violations.  This replaces a full XLA re-read of the
-    sorted relation (the old tile_stats pass).  The exact sorter skips the
-    violation count — its output is sorted by construction."""
-    two = jnp.int32(2)
+def make_contributions(unique_both: bool):
+    """Per-position match contributions of a merged (key*4+tag) sequence —
+    the segmented-count formula (module docstring), or the single-shift
+    adjacency form when BOTH sides are certified unique."""
+    def contributions(merged, ones, zeros, neg):
+        if unique_both:
+            prev = linops.lshift(merged, -1, jnp.int32(-2))
+            hit = ((merged - prev) == 1) & ((merged & 3) == 1)
+            return jnp.where(hit, ones, zeros)
+        tag = merged & 3
+        rcnt = jnp.where(tag == 0, ones, zeros)
+        a = linops.cumsum_linear(rcnt)
+        keyv = merged >> 2
+        run_start = keyv != linops.lshift(keyv, -1, jnp.int32(-1))
+        prev_a = linops.cummax_linear(jnp.where(run_start, a - rcnt, neg))
+        return jnp.where(tag == 1, a - prev_a, zeros)
+    return contributions
+
+
+def make_tile_stats_row(method: str, rows_per_tile: int):
+    """Per-tile stats row: lane 0 = min, lane 1 = max (padding excluded),
+    lane 2 = sortedness violations (0 for the exact bitonic sorters)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows_per_tile, LANES), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (rows_per_tile, LANES), 0)
     is_last = (row == rows_per_tile - 1) & (lane == LANES - 1)
@@ -137,6 +147,28 @@ def _sort_megakernel(r_hbm, out_hbm, stats_ref, buf, obuf, sem_in, sem_out, *,
         return jnp.where(srow == 0, mn,
                          jnp.where(srow == 1, mx,
                                    jnp.where(srow == 2, cnt, jnp.int32(0))))
+    return tile_stats_row
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: streaming tile sort
+# ---------------------------------------------------------------------------
+
+def _sort_megakernel(r_hbm, out_hbm, stats_ref, buf, obuf, sem_in, sem_out, *,
+                     n_tiles: int, rows_per_tile: int, method: str,
+                     passes: int):
+    """Double-buffered streaming sort: tile t+1's load and tile t-1's
+    writeback ride the DMA engines while tile t sorts in VMEM — the loop is
+    bound by max(DMA, sort) instead of their sum (serialized DMA latency
+    dominated the single-buffer version: ~2048 round trips per relation).
+
+    While each sorted tile is still in VMEM, its stats row is written to
+    stats_ref[t]: lane 0 = min key, lane 1 = max key (padding excluded),
+    lane 2 = sortedness violations.  This replaces a full XLA re-read of the
+    sorted relation (the old tile_stats pass).  The exact sorter skips the
+    violation count — its output is sorted by construction."""
+    two = jnp.int32(2)
+    tile_stats_row = make_tile_stats_row(method, rows_per_tile)
 
     def in_dma(slot, t):
         return pltpu.make_async_copy(
@@ -468,18 +500,7 @@ def _count_narrow_megakernel(row_off_smem, rows_needed_smem, r_hbm, s_hbm,
             s_hbm.at[pl.ds(row_off_smem[t], rpt + OV_ROWS), :],
             sbuf.at[slot], sem_s.at[slot])
 
-    def contributions(merged, ones, zeros, neg):
-        if unique_both:
-            prev = linops.lshift(merged, -1, jnp.int32(-2))
-            hit = ((merged - prev) == 1) & ((merged & 3) == 1)
-            return jnp.where(hit, ones, zeros)
-        tag = merged & 3
-        rcnt = jnp.where(tag == 0, ones, zeros)
-        a = linops.cumsum_linear(rcnt)
-        keyv = merged >> 2
-        run_start = keyv != linops.lshift(keyv, -1, jnp.int32(-1))
-        prev_a = linops.cummax_linear(jnp.where(run_start, a - rcnt, neg))
-        return jnp.where(tag == 1, a - prev_a, zeros)
+    contributions = make_contributions(unique_both)
 
     r_dma(jnp.int32(0), jnp.int32(0)).start()
     s_dma(jnp.int32(0), jnp.int32(0)).start()
@@ -625,44 +646,9 @@ def _fused_sort_count_kernel(row_off_smem, rows_needed_smem, r_hbm, s_hbm,
     ones_s = jnp.ones((2 * OV_ROWS, LANES), jnp.int32)
     zeros_s = jnp.zeros((2 * OV_ROWS, LANES), jnp.int32)
     neg_s = -ones_s
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rpt, LANES), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (rpt, LANES), 0)
-    is_last = (row == rpt - 1) & (lane == LANES - 1)
-    last_lane = lane == LANES - 1
     srow = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-
-    def tile_stats_row(v):
-        mn = jnp.min(v)
-        mx = jnp.max(jnp.where(v == MAXI32, jnp.int32(-(1 << 31)), v))
-        if method == "bitonic":
-            cnt = jnp.int32(0)
-        else:
-            nxt = pltpu.roll(v, jnp.int32(LANES - 1), axis=1)
-            nxt = jnp.where(
-                last_lane, pltpu.roll(nxt, jnp.int32(rpt - 1), axis=0), nxt)
-            bad = (v > nxt) & ~is_last
-            y = jnp.where(bad, jnp.int32(1), jnp.int32(0))
-            step = 8
-            while step < rpt:
-                y = y + pltpu.roll(y, jnp.int32(step), axis=0)
-                step *= 2
-            cnt = linops.sum_all(y[:8, :])
-        return jnp.where(srow == 0, mn,
-                         jnp.where(srow == 1, mx,
-                                   jnp.where(srow == 2, cnt, jnp.int32(0))))
-
-    def contributions(merged, ones, zeros, neg):
-        if unique_both:
-            prev = linops.lshift(merged, -1, jnp.int32(-2))
-            hit = ((merged - prev) == 1) & ((merged & 3) == 1)
-            return jnp.where(hit, ones, zeros)
-        tag = merged & 3
-        rcnt = jnp.where(tag == 0, ones, zeros)
-        a = linops.cumsum_linear(rcnt)
-        keyv = merged >> 2
-        run_start = keyv != linops.lshift(keyv, -1, jnp.int32(-1))
-        prev_a = linops.cummax_linear(jnp.where(run_start, a - rcnt, neg))
-        return jnp.where(tag == 1, a - prev_a, zeros)
+    tile_stats_row = make_tile_stats_row(method, rpt)
+    contributions = make_contributions(unique_both)
 
     def in_dma(slot, t):
         return pltpu.make_async_copy(
@@ -841,6 +827,7 @@ def _count_megakernel(row_off_smem, n_chunks_smem, r_hbm, s_hbm, out_ref,
     ones_m = jnp.ones((merged_rows, LANES), jnp.int32)
     zeros_m = jnp.zeros((merged_rows, LANES), jnp.int32)
     neg_m = -ones_m
+    contributions = make_contributions(unique_both)
 
     def r_dma(slot, t):
         return pltpu.make_async_copy(
@@ -897,24 +884,7 @@ def _count_megakernel(row_off_smem, n_chunks_smem, r_hbm, s_hbm, out_ref,
                                sk * 4 + 1)
             merged = linops.bitonic_merge_keys(
                 jnp.concatenate([comp_s, rev_r], axis=0))
-            if unique_both:
-                # both sides unique (PK ⋈ permutation — the headline
-                # oracle): an S element (4k+1) matches iff its immediate
-                # predecessor is its R copy (4k) — one shift replaces both
-                # linear scans of the general formula.
-                prev = linops.lshift(merged, -1, jnp.int32(-2))
-                hit = ((merged - prev) == 1) & ((merged & 3) == 1)
-                contrib = jnp.where(hit, ones_m, zeros_m)
-            else:
-                tag = merged & 3
-                rcnt = jnp.where(tag == 0, ones_m, zeros_m)
-                a = linops.cumsum_linear(rcnt)
-                keyv = merged >> 2
-                run_start = keyv != linops.lshift(keyv, -1, jnp.int32(-1))
-                prev_a = linops.cummax_linear(
-                    jnp.where(run_start, a - rcnt, neg_m))
-                contrib = jnp.where(tag == 1, a - prev_a, zeros_m)
-            acc[:] = acc[:] + contrib
+            acc[:] = acc[:] + contributions(merged, ones_m, zeros_m, neg_m)
             return carry2
 
         jax.lax.fori_loop(jnp.int32(0), n_chunks_smem[t], chunk_body,

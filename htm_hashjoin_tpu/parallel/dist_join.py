@@ -80,7 +80,8 @@ def _bucketize(keys, active, ndev, cap, pad_value):
                          ndev, cap, pad_value)
 
 
-def _exchange_hier(keys, active, ndev, hosts, chips, cap1, cap2, pad_value):
+def _exchange_hier(keys, active, ndev, hosts, chips, cap1, cap2, pad_value,
+                   host_axis="host", chip_axis="chip"):
     """Two-stage hierarchical repartition over a ("host", "chip") mesh —
     SURVEY.md §5's hierarchical partitioning: the chip-level pass rides ICI
     before the host-level pass crosses DCN.  Destination device for key k is
@@ -93,11 +94,13 @@ def _exchange_hier(keys, active, ndev, hosts, chips, cap1, cap2, pad_value):
     dest = murmur32(keys) & (ndev - 1)
     buf1, drop1, _ = _bucketize_by(keys, dest % chips, active,
                                    chips, cap1, pad_value)
-    r1 = lax.all_to_all(buf1, "chip", split_axis=0, concat_axis=0).reshape(-1)
+    r1 = lax.all_to_all(buf1, chip_axis, split_axis=0,
+                        concat_axis=0).reshape(-1)
     act1 = r1 != pad_value
     dest_h = (murmur32(r1) & (ndev - 1)) // chips   # recomputed, not shipped
     buf2, drop2, _ = _bucketize_by(r1, dest_h, act1, hosts, cap2, pad_value)
-    r2 = lax.all_to_all(buf2, "host", split_axis=0, concat_axis=0).reshape(-1)
+    r2 = lax.all_to_all(buf2, host_axis, split_axis=0,
+                        concat_axis=0).reshape(-1)
     return r2, drop1 + drop2
 
 
@@ -191,10 +194,13 @@ def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling,
 
     if hier is not None:
         hosts, chips = hier
+        h_ax, c_ax = axis           # 2-D mesh: axis is its axis-name tuple
         r_recv, r_drop = _exchange_hier(rk, r_flow, ndev, hosts, chips,
-                                        cap_r * hosts, cap_r * chips, R_PAD)
+                                        cap_r * hosts, cap_r * chips, R_PAD,
+                                        host_axis=h_ax, chip_axis=c_ax)
         s_recv, s_drop = _exchange_hier(sk, s_flow, ndev, hosts, chips,
-                                        cap_s * hosts, cap_s * chips, S_PAD)
+                                        cap_s * hosts, cap_s * chips, S_PAD,
+                                        host_axis=h_ax, chip_axis=c_ax)
     else:
         rbuf, r_drop, _ = _bucketize(rk, r_flow, ndev, cap_r, R_PAD)
         sbuf, s_drop, _ = _bucketize(sk, s_flow, ndev, cap_s, S_PAD)

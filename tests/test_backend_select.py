@@ -235,3 +235,48 @@ def test_forced_pallas_unsorted_s_duplicates():
             assert mp.extra["backend"] == "pallas_banded", (algo, dist)
             assert mp.totalMatches == mx.totalMatches, (algo, dist)
             assert mp.inputSum == mp.outputSum == mx.inputSum, (algo, dist)
+
+
+def test_atomic_nocc_unsorted_s_parity():
+    """Regression: atomic/nocc with unique R but UNSORTED S (mc -z style)
+    must sort S on device — an unsorted S sliced by searchsorted produced
+    silently wrong counts (found 2026-08-19)."""
+    from htm_hashjoin_tpu.joins import atomic_join, nocc_join
+    for join, algo in ((atomic_join, Algo.ATOMIC), (nocc_join, Algo.NOCC)):
+        cfg_x = JoinConfig(algo=algo, r_size=1 << 14, data_distr=Distribution.PK,
+                           s_distr=Distribution.FK, backend="xla")
+        cfg_p = JoinConfig(algo=algo, r_size=1 << 14, data_distr=Distribution.PK,
+                           s_distr=Distribution.FK, backend="pallas")
+        r, s = build_relations(cfg_x)
+        assert not s.assume_sorted
+        mx = join(r, s, cfg_x)
+        mp = join(r, s, cfg_p)
+        assert mp.extra["backend"] == "pallas_banded", algo
+        assert mp.totalMatches == mx.totalMatches == 1 << 14, algo
+        assert mp.inputSum == mp.outputSum
+
+
+def test_unique_r_duplicate_s_counts_all_matches():
+    """Regression: unique R with duplicate-heavy S must NOT take the
+    single-shift unique_both formula (it counts only the first duplicate;
+    found 2026-08-19 undercounting 82994/131072)."""
+    from htm_hashjoin_tpu.joins import npo_join
+    from htm_hashjoin_tpu.joins.common import keys_unique_both
+    for s_distr in (Distribution.NONUNIQUE, Distribution.ZIPF):
+        cfg_x = JoinConfig(algo=Algo.HTM, r_size=1 << 14,
+                           data_distr=Distribution.PK, s_distr=s_distr,
+                           distinct_keys=1 << 10, backend="xla")
+        cfg_p = JoinConfig(algo=Algo.HTM, r_size=1 << 14,
+                           data_distr=Distribution.PK, s_distr=s_distr,
+                           distinct_keys=1 << 10, backend="pallas")
+        assert not keys_unique_both(cfg_p)
+        r, s = build_relations(cfg_x)
+        for join in (htm_join, npo_join):
+            mx = join(r, s, cfg_x)
+            mp = join(r, s, cfg_p)
+            assert mp.extra["backend"] == "pallas_banded", s_distr
+            assert mp.totalMatches == mx.totalMatches, (s_distr, join)
+    # fk S larger than R has duplicates too
+    cfg = JoinConfig(algo=Algo.HTM, r_size=1 << 12, s_size=1 << 14,
+                     data_distr=Distribution.PK, s_distr=Distribution.FK)
+    assert not keys_unique_both(cfg)

@@ -144,3 +144,18 @@ def test_no_mapping_default_order(monkeypatch):
     monkeypatch.delenv(MAPPING_ENV, raising=False)
     mesh = make_mesh()
     assert [d.id for d in mesh.devices.flat] == [d.id for d in jax.devices()]
+
+
+def test_hierarchical_custom_axis_names():
+    """Regression: the two-stage exchange hardcoded 'host'/'chip' axis
+    names; a 2-D mesh with other names crashed at trace time."""
+    import numpy as np
+    from jax.sharding import Mesh
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("outer", "inner"))
+    cfg = JoinConfig(algo=Algo.HTM, r_size=1 << 12,
+                     data_distr=Distribution.SHUFFLE)
+    r, s = build_relations(cfg)
+    m = distributed_join(r, s, cfg, mesh=mesh)
+    assert m.totalMatches == 1 << 12
+    assert m.inputSum == m.outputSum

@@ -116,12 +116,23 @@ def _htm_build_pallas(cfg: JoinConfig, r: Relation) -> JoinMetrics:
     plan = pallas_plan(cfg)
     interpret = jax.default_backend() == "cpu"
     t0 = time.perf_counter()
-    out = banded_build_pipelined(r.keys, locality_window=plan.window,
+    res = banded_build_pipelined(r.keys, locality_window=plan.window,
                                  presort=plan.presort,
                                  presorted=plan.presorted,
+                                 return_tile_violations=cfg.track,
                                  interpret=interpret)
     elapsed_us = (time.perf_counter() - t0) * 1e6
-    return pallas_metrics(cfg, "htm", out, elapsed_us, None)
+    if cfg.track:
+        out, tile_viols = res
+        m = pallas_metrics(cfg, "htm", out, elapsed_us, None)
+        # TM_TRACK abort-histogram analog (HTMHashBuild.hpp:134-142): the
+        # per-tile violation fractions of the optimistic sorter (chunk =
+        # one 65536-element tile here vs the reference's 16384 window)
+        frac = (tile_viols / 65536.0).tolist()
+        m.extra["chunkFailureFractions"] = [float(f) for f in frac[:64]]
+        m.extra["maxChunkFailureFraction"] = float(max(frac)) if frac else 0.0
+        return m
+    return pallas_metrics(cfg, "htm", res, elapsed_us, None)
 
 
 def _htm_join_pallas(r: Relation, s: Relation, cfg: JoinConfig) -> JoinMetrics:

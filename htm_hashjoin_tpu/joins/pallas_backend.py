@@ -313,7 +313,8 @@ def enqueue_banded_join(rkeys: jax.Array, skeys_sorted: jax.Array, *,
 def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
                            locality_window: Optional[int] = None,
                            presort: bool = False, presorted: bool = False,
-                           interpret: bool = False) -> BandedJoinOutcome:
+                           return_tile_violations: bool = False,
+                           interpret: bool = False):
     """Build-only banded pipeline (the reference's default ENABLE_PROBE=off
     grids, config.h:4): produce the probe-able sorted-tile artifact with ONE
     host readback.  Locality plans take the optimistic bounded-displacement
@@ -357,8 +358,13 @@ def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
         bundle = np.asarray(jnp.stack([jnp.asarray(bundle[0]), out_sum,
                                        in_sum]))
         resorted = True
-    return BandedJoinOutcome(0, int(bundle[0]), 0, int(bundle[1]),
-                             resorted, int(bundle[2]))
+    out = BandedJoinOutcome(0, int(bundle[0]), 0, int(bundle[1]),
+                            resorted, int(bundle[2]))
+    if return_tile_violations:
+        # per-tile violation counts (the TM_TRACK abort-histogram analog);
+        # one extra (F,) readback, paid only on --track runs
+        return out, np.asarray(viols).reshape(-1)
+    return out
 
 
 def sort_probe_side(skeys: jax.Array, tile: int = DEFAULT_TILE,

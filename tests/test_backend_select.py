@@ -280,3 +280,15 @@ def test_unique_r_duplicate_s_counts_all_matches():
     cfg = JoinConfig(algo=Algo.HTM, r_size=1 << 12, s_size=1 << 14,
                      data_distr=Distribution.PK, s_distr=Distribution.FK)
     assert not keys_unique_both(cfg)
+
+
+def test_track_fields_on_banded_build():
+    """--track must emit the failure-histogram fields on the banded
+    build-only path too (TM_TRACK parity, HTMHashBuild.hpp:134-142)."""
+    cfg = _cfg(backend="pallas", enable_probe=False, track=True,
+               shuffle_range=4)
+    r, _ = build_relations(cfg)
+    m = htm_join(r, None, cfg)
+    assert m.extra["backend"] == "pallas_banded"
+    assert "chunkFailureFractions" in m.extra
+    assert "maxChunkFailureFraction" in m.extra

@@ -96,7 +96,8 @@ class SpillState:
 
 
 def finish_metrics(m: JoinMetrics, timer: PhaseTimer,
-                   total_matches: Optional[int]) -> JoinMetrics:
+                   total_matches: Optional[int],
+                   retry: bool = False) -> JoinMetrics:
     m.hashBuildTimeInMicroseconds = (
         timer.micros.get("build", 0.0) + timer.micros.get("spill", 0.0))
     if "probe" in timer.micros or "probe_spill" in timer.micros:
@@ -105,8 +106,13 @@ def finish_metrics(m: JoinMetrics, timer: PhaseTimer,
     if total_matches is not None:
         m.totalMatches = total_matches
     if m.rSize:
-        m.failedTransactionPercentage = 100.0 * m.failedTransactions / m.rSize
-        m.totalFailedPercentage = 100.0 * (m.failedTransactions + m.conflictCount) / m.rSize
+        # FRACTIONS despite the names — the reference's own convention
+        # (HTMHashBuild.hpp:410-415, log values like 2.03848e-05); under
+        # TM_RETRY totalFailedPercentage counts only the residual conflicts
+        m.failedTransactionPercentage = m.failedTransactions / m.rSize
+        m.totalFailedPercentage = (m.conflictCount / m.rSize if retry else
+                                   (m.failedTransactions + m.conflictCount)
+                                   / m.rSize)
     return m
 
 
@@ -274,7 +280,9 @@ def pallas_metrics(cfg: JoinConfig, algo: str, outcome, elapsed_us: float,
     m.extra["backend"] = "pallas_banded"
     m.extra["resorted"] = outcome.resorted
     if cfg.r_size:
-        m.failedTransactionPercentage = 100.0 * m.failedTransactions / cfg.r_size
-        m.totalFailedPercentage = 100.0 * (
-            m.failedTransactions + m.conflictCount) / cfg.r_size
+        # fractions, with the TM_RETRY rule (HTMHashBuild.hpp:410-415)
+        m.failedTransactionPercentage = m.failedTransactions / cfg.r_size
+        m.totalFailedPercentage = (
+            m.conflictCount / cfg.r_size if cfg.retry else
+            (m.failedTransactions + m.conflictCount) / cfg.r_size)
     return m

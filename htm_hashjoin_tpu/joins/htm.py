@@ -102,7 +102,7 @@ def htm_join(r: Relation, s: Optional[Relation] = None,
         trace = simulate_adaptive_tsize(
             [float(x) for x in chunk_fail], cfg.transaction_size)
         m.extra["adaptiveTransactionSizeFinal"] = trace[-1] if trace else cfg.transaction_size
-    return finish_metrics(m, timer, matches)
+    return finish_metrics(m, timer, matches, retry=cfg.retry)
 
 
 def _htm_build_pallas(cfg: JoinConfig, r: Relation) -> JoinMetrics:

@@ -2,10 +2,11 @@
 
 Reference: NoCCHashBuild.hpp:13-151 — the upper-bound-throughput baseline
 whose races silently lose tuples (observable as outputSum < inputSum,
-experiments/new_backup/AtomicsVsHTMVsNoCC_log1:1).  The TPU-native
-formulation is a single plain scatter: XLA scatter with duplicate indices is
-last-writer-wins, which is *exactly* the racy-store semantics — no kernel
-trickery required (SURVEY.md §2.4 P5).
+experiments/new_backup/AtomicsVsHTMVsNoCC_log1:1).  Like the reference it
+linear-probes with a probeLength budget and spills budget-exhausted tuples
+to a conflicts set counted into outputSum (NoCCHashBuild.hpp:43-63,103-146);
+the races live in each round's unsynchronized read-then-scatter — XLA
+last-writer-wins IS the lost-update semantics (SURVEY.md §2.4 P5).
 """
 
 from __future__ import annotations
@@ -22,14 +23,16 @@ from ..ops import insert, probe
 from ..ops.hashing import identity_hash
 from ..utils.metrics import JoinMetrics
 from ..utils.timing import PhaseTimer
-from .common import (finish_metrics, pallas_unique_join, resolve_relations,
-                     route_unique_pallas, table_size_for)
+from .common import (SpillState, finish_metrics, pallas_unique_join,
+                     resolve_relations, route_unique_pallas, table_size_for)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _build(keys: jax.Array, table_size: int):
-    table = insert.nocc_scatter(keys, table_size, identity_hash)
-    return table, probe.table_sum(table), jnp.sum(keys.astype(jnp.int64))
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _build(keys: jax.Array, table_size: int, probe_length: int):
+    table, pending = insert.nocc_build(keys, table_size, probe_length,
+                                       identity_hash)
+    return (table, pending, probe.table_sum(table),
+            jnp.sum(keys.astype(jnp.int64)))
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -43,12 +46,17 @@ def nocc_join(r: Relation, s: Optional[Relation] = None,
         return pallas_unique_join("nocc", r, s, cfg)
     rkeys, skeys = resolve_relations(r, s, cfg)
     timer = PhaseTimer()
-    table, out_sum, in_sum = timer.timed("build", _build, rkeys, table_size_for(cfg))
+    table, pending, table_sum, in_sum = timer.timed(
+        "build", _build, rkeys, table_size_for(cfg), cfg.probe_length)
+    spill = SpillState(rkeys, pending, timer)
     matches = None
     if skeys is not None:
         matches = int(timer.timed("probe", _probe, table, skeys, cfg.probe_length))
+        matches += spill.probe_count(skeys, timer)
     m = JoinMetrics(algo="nocc", rSize=cfg.r_size,
                     transactionSize=cfg.transaction_size,
                     probeLength=cfg.probe_length,
-                    inputSum=int(in_sum), outputSum=int(out_sum))
+                    conflictCount=spill.count,
+                    inputSum=int(in_sum),
+                    outputSum=int(table_sum) + spill.key_sum)
     return finish_metrics(m, timer, matches)

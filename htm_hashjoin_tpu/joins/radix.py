@@ -17,7 +17,7 @@ TPU-native (SURVEY.md §2.4 P7/P8/P9):
   * skew handling is subsumed: oversized partitions cost nothing extra in
     the composite-sort formulation; the histogram still reports heavy
     hitters for the distributed engine's splitting decisions
-    (parallel/skew.py).
+    (parallel/dist_join.py heavy-hitter handling).
 
 Note the reference fork's PRO measures partition+build only (the probe loop
 is commented out, parallel_radix_join.c:262-276); we implement and time the

@@ -41,10 +41,39 @@ HashFn = Callable[[jax.Array, int], jax.Array]
 
 
 def nocc_scatter(keys: jax.Array, table_size: int, hash_fn: HashFn) -> jax.Array:
-    """Racy build: last writer wins (NoCCHashBuild.hpp:43-59)."""
+    """Racy single-slot build: last writer wins (the degenerate
+    probeLength=1 case of nocc_build)."""
     mask = table_size - 1
     slot = hash_fn(keys, mask)
     return jnp.zeros((table_size,), KEY_DTYPE).at[slot].set(keys)
+
+
+def nocc_build(keys: jax.Array, table_size: int, probe_length: int,
+               hash_fn: HashFn) -> Tuple[jax.Array, jax.Array]:
+    """The full NoCC build (NoCCHashBuild.hpp:43-63): UNSYNCHRONIZED linear
+    probing with a probe budget.  Round j: every pending tuple whose slot
+    (h+j) & mask LOOKED empty writes it — concurrent attempts race and the
+    losers' tuples are silently lost (last writer wins), exactly the
+    reference's lost-update semantics; winners and losers alike believe they
+    placed.  Tuples that exhaust the budget spill to the conflicts set
+    (``pending``), whose key sum the caller adds to outputSum
+    (NoCCHashBuild.hpp:103-146)."""
+    n = keys.shape[0]
+    mask = table_size - 1
+    h = hash_fn(keys, mask)
+    table = jnp.zeros((table_size,), KEY_DTYPE)
+    pending = jnp.ones((n,), jnp.bool_)
+
+    def body(j, carry):
+        table, pending = carry
+        slot = (h + j) & mask
+        attempt = pending & (table[slot] == EMPTY)   # racy read
+        table = table.at[jnp.where(attempt, slot, table_size)].set(
+            keys, mode="drop")                        # racy write, last wins
+        return table, pending & ~attempt              # losers believe placed
+
+    return jax.lax.fori_loop(0, min(probe_length, table_size), body,
+                             (table, pending))
 
 
 def claim_insert_round(table: jax.Array, claim: jax.Array, keys: jax.Array,
@@ -173,14 +202,20 @@ def htm_optimistic_build(keys: jax.Array, num_buckets: int, *,
     mask = num_buckets - 1
     bucket = (keys // 3) & mask
     slot = bucket * 3 + keys % 3
-    table = jnp.zeros((num_buckets * 3,), KEY_DTYPE).at[slot].set(keys)
     if unique_keys:
+        table = jnp.zeros((num_buckets * 3,), KEY_DTYPE).at[slot].set(keys)
         failed = table[slot] != keys
     else:
-        # duplicate keys would alias on gather-back compare; use a claim pass
+        # duplicate keys would alias on gather-back compare; claim FIRST and
+        # let only claim winners write the table — two independent scatters
+        # (table + claim) may pick different duplicate-index winners (XLA
+        # leaves the order unspecified), which would lose one tuple and
+        # double-place another
         idx = jnp.arange(n, dtype=jnp.int32)
         claim = jnp.full((num_buckets * 3,), -1, jnp.int32).at[slot].set(idx)
         failed = claim[slot] != idx
+        table = jnp.zeros((num_buckets * 3,), KEY_DTYPE).at[
+            jnp.where(failed, num_buckets * 3, slot)].set(keys, mode="drop")
     if not retry:
         return OptimisticBuildResult(table, failed, failed)
     table, pending = bucket_build(keys, num_buckets, 3,

@@ -21,15 +21,22 @@ HashFn = Callable[[jax.Array, int], jax.Array]
 def probe_open_addressing(table: jax.Array, skeys: jax.Array,
                           probe_length: int, hash_fn: HashFn) -> jax.Array:
     """Count matches by scanning `probe_length` slots from h
-    (AtomicHashBuild.hpp:69-86).  Returns int64 total match count."""
+    (AtomicHashBuild.hpp:69-86).  Returns int64 total match count.
+
+    Device loop, not a Python unroll: probeLength is a user knob that can be
+    thousands — unrolling would emit one gather per round into the traced
+    graph and blow up compile time."""
     table_size = table.shape[0]
     mask = table_size - 1
     h = hash_fn(skeys, mask)
-    total = jnp.zeros((), jnp.int64)
+
+    def body(j, total):
+        return total + jnp.sum(table[(h + j) & mask] == skeys,
+                               dtype=jnp.int64)
+
     # never revisit a slot: scanning more than table_size slots would wrap
-    for j in range(min(probe_length, table_size)):
-        total += jnp.sum(table[(h + j) & mask] == skeys, dtype=jnp.int64)
-    return total
+    return jax.lax.fori_loop(0, min(probe_length, table_size), body,
+                             jnp.zeros((), jnp.int64))
 
 
 def probe_buckets(table: jax.Array, skeys: jax.Array, slots: int,

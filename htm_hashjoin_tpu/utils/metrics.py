@@ -43,6 +43,11 @@ class JoinMetrics:
         for k, v in self.__dict__.items():
             if k == "extra" or v is None:
                 continue
+            # atomic/nocc name their spill count "conflicts"
+            # (AtomicHashBuild.hpp:143, NoCCHashBuild.hpp:137); htm says
+            # "conflictCount" (HTMHashBuild.hpp:437)
+            if k == "conflictCount" and self.algo in ("nocc", "atomic"):
+                k = "conflicts"
             out[k] = v
         out.update(self.extra)
         return out

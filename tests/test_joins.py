@@ -143,3 +143,51 @@ def test_tiny_relation_no_probe_wraparound():
     for algo in ["atomic", "nocc", "htm", "npo"]:
         m, _, _ = run(algo, Distribution.SORTED, n=1)
         assert m.totalMatches == 1, algo
+
+
+def test_reference_schema_conventions():
+    """Schema parity with the reference logs: percentage-named fields carry
+    FRACTIONS (HTMHashBuild.hpp:410-415, e.g. 2.03848e-05), nocc/atomic call
+    their spill count 'conflicts' (NoCCHashBuild.hpp:137), htm keeps
+    'conflictCount'."""
+    import json
+    from htm_hashjoin_tpu.joins import atomic_join, htm_join, nocc_join
+    cfg = JoinConfig(algo=Algo.NOCC, r_size=4096,
+                     data_distr=Distribution.UNIFORM, distinct_keys=512)
+    r, s = build_relations(cfg)
+    d = json.loads(nocc_join(r, s, cfg).to_json_line())
+    assert "conflicts" in d and "conflictCount" not in d
+    d = json.loads(atomic_join(r, s, JoinConfig(
+        algo=Algo.ATOMIC, r_size=4096, data_distr=Distribution.UNIFORM,
+        distinct_keys=512)).to_json_line())
+    assert "conflicts" in d and "conflictCount" not in d
+    cfg = JoinConfig(algo=Algo.HTM, r_size=4096, retry=False,
+                     data_distr=Distribution.UNIFORM, distinct_keys=512)
+    d = json.loads(htm_join(r, s, cfg).to_json_line())
+    assert "conflictCount" in d
+    # fractions: failed/rSize, never x100 (reference convention)
+    assert 0.0 <= d["failedTransactionPercentage"] <= 1.0
+    assert abs(d["failedTransactionPercentage"]
+               - d["failedTransactions"] / 4096) < 1e-12
+    assert abs(d["totalFailedPercentage"]
+               - (d["failedTransactions"] + d["conflictCount"]) / 4096) < 1e-12
+
+
+def test_nocc_linear_probing_places_colliders():
+    """NoCC linear-probes with the budget (NoCCHashBuild.hpp:43-63): mild
+    duplication should mostly LAND in later slots, not vanish — losses come
+    only from same-round same-slot races, and budget exhaustion spills to
+    the conflicts set counted into outputSum."""
+    cfg = JoinConfig(algo=Algo.NOCC, r_size=4096, probe_length=8,
+                     data_distr=Distribution.UNIFORM, distinct_keys=2048)
+    from htm_hashjoin_tpu.joins import nocc_join
+    r, s = build_relations(cfg)
+    m = nocc_join(r, s, cfg)
+    # duplicates collide in round one -> lossy (reference invariant);
+    # the synchronous-round race is MORE contended than the reference's
+    # thread interleaving, so the loss fraction is an upper bound
+    assert m.outputSum < m.inputSum
+    # distinct keys survive: at least one copy of each lands
+    assert m.outputSum > 0 and m.totalMatches > 0
+    # spills are accounted, not silently dropped (outputSum includes them)
+    assert m.conflictCount >= 0

@@ -349,21 +349,24 @@ def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
             else jnp.zeros((1,), jnp.int64)
     out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
     in_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
-    bundle = np.asarray(jnp.stack([_sum_i64(viols), out_sum, in_sum]))
+    head = jnp.stack([_sum_i64(viols), out_sum, in_sum])
+    if return_tile_violations:
+        # per-tile violation counts (the TM_TRACK abort-histogram analog)
+        # ride the SAME readback — a second np.asarray would cost another
+        # ~27 ms tunnel round trip per grid point
+        head = jnp.concatenate([head, viols.reshape(-1)])
+    bundle = np.asarray(head)
     resorted = False
     if optimistic and bundle[0] > 0:    # abort → exact retry
         sorted2d, _ = sort_tiles(r2d, tile=tile, method="bitonic",
                                  interpret=interpret)
         out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
-        bundle = np.asarray(jnp.stack([jnp.asarray(bundle[0]), out_sum,
-                                       in_sum]))
+        bundle[1] = np.asarray(out_sum)
         resorted = True
     out = BandedJoinOutcome(0, int(bundle[0]), 0, int(bundle[1]),
                             resorted, int(bundle[2]))
     if return_tile_violations:
-        # per-tile violation counts (the TM_TRACK abort-histogram analog);
-        # one extra (F,) readback, paid only on --track runs
-        return out, np.asarray(viols).reshape(-1)
+        return out, bundle[3:]
     return out
 
 

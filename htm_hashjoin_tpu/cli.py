@@ -39,7 +39,7 @@ def parse_args(argv=None):
                    choices=[d.value for d in Distribution])
     p.add_argument("--shuffleRange", type=int, default=16)
     p.add_argument("--scaleOutput", type=int, default=2)
-    p.add_argument("--numPartitions", type=int, default=64)
+    p.add_argument("--numPartitions", type=int, default=None)
     p.add_argument("--distinctKeys", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--zipfParam", type=float, default=0.75)
@@ -53,6 +53,10 @@ def parse_args(argv=None):
                    help="per-chunk failure histograms (TM_TRACK)")
     p.add_argument("--adaptive", action="store_true",
                    help="adaptive chunk-size stats (HTM_ADAPTIVE)")
+    p.add_argument("--switchSniff", action="store_true",
+                   help="HTM_SWITCH locality pre-pass: sniff, report "
+                        "firstRoundFailureFraction, switch htm→radix when "
+                        "locality is absent (HTMHashBuild.hpp:100-154)")
     p.add_argument("--skewHandling", action="store_true")
     p.add_argument("--meshShape", type=str, default="",
                    help="comma-separated mesh, e.g. '8' for 8-way data parallel")
@@ -101,8 +105,11 @@ def parse_args(argv=None):
         a.sSize = a.sSizeMc
     if a.rSeed is not None:
         a.seed = a.rSeed
-    if a.nthreads is not None:
-        a.numPartitions = max(a.numPartitions, a.nthreads)
+    # mc semantics: -n sets the worker count EXACTLY (mc/src/main.c:512-515);
+    # an explicit --numPartitions wins, the main.cpp default of 64 applies
+    # only when neither flag is given (main.cpp:81)
+    if a.numPartitions is None:
+        a.numPartitions = a.nthreads if a.nthreads is not None else 64
     mc_used = any(x is not None for x in (a.rSizeMc, a.sSizeMc, a.rSeed,
                                           a.sSeed, a.zipfSkew, a.lShuffle,
                                           a.nthreads)) \
@@ -137,7 +144,8 @@ def parse_args(argv=None):
         radix_bits=a.radixBits, radix_passes=a.radixPasses,
         s_seed=a.sSeed, s_distr=s_distr,
         enable_probe=not a.noProbe, retry=not a.noRetry, track=a.track,
-        adaptive=a.adaptive, skew_handling=a.skewHandling,
+        adaptive=a.adaptive, switch_sniff=a.switchSniff,
+        skew_handling=a.skewHandling,
         mesh_shape=tuple(int(x) for x in a.meshShape.split(",") if x),
         backend=a.backend,
     )

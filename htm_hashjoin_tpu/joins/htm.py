@@ -72,6 +72,8 @@ def simulate_adaptive_tsize(chunk_fail, t0: int) -> list[int]:
 
 def htm_join(r: Relation, s: Optional[Relation] = None,
              cfg: JoinConfig = JoinConfig()) -> JoinMetrics:
+    if cfg.switch_sniff:
+        return _htm_switch_join(r, s, cfg)
     if use_pallas_engine(cfg, s):
         return _htm_join_pallas(r, s, cfg)
     if (s is None or not cfg.enable_probe) and use_pallas_engine_build(cfg):
@@ -103,6 +105,36 @@ def htm_join(r: Relation, s: Optional[Relation] = None,
             [float(x) for x in chunk_fail], cfg.transaction_size)
         m.extra["adaptiveTransactionSizeFinal"] = trace[-1] if trace else cfg.transaction_size
     return finish_metrics(m, timer, matches, retry=cfg.retry)
+
+
+def _htm_switch_join(r: Relation, s: Optional[Relation],
+                     cfg: JoinConfig) -> JoinMetrics:
+    """HTM_SWITCH (config.h:16-17): phase 0 samples K rounds of 16384 tuples
+    per partition and measures firstRoundFailureFraction
+    (HTMHashBuild.hpp:100-154); a high failure rate means no locality and the
+    driver switches the build to the radix path — the paper's low-overhead
+    switch (README.md:6).  The sniff fields ride the JSON line exactly like
+    the reference's (HTMHashBuild.hpp:425-430)."""
+    import dataclasses
+
+    from ..utils.timing import PhaseTimer as _PT
+    from .adaptive import sniff_statistics
+    from .common import htm_num_buckets as _nb
+
+    timer = _PT()
+    dup_frac, max_key = sniff_statistics(r.keys, cfg, timer)
+    use_htm = dup_frac < 0.004 and max_key <= 3 * _nb(cfg.r_size)
+    inner = dataclasses.replace(cfg, switch_sniff=False)
+    if use_htm:
+        m = htm_join(r, s, inner)
+    else:
+        from .radix import radix_join
+        m = radix_join(r, s, inner)
+        m.algo = "htm"
+        m.extra["switchedToRadix"] = True
+    m.firstRoundTime = timer.micros.get("sniff", 0.0)
+    m.firstRoundFailureFraction = float(dup_frac)
+    return m
 
 
 def _htm_build_pallas(cfg: JoinConfig, r: Relation) -> JoinMetrics:

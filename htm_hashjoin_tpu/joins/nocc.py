@@ -7,6 +7,11 @@ linear-probes with a probeLength budget and spills budget-exhausted tuples
 to a conflicts set counted into outputSum (NoCCHashBuild.hpp:43-63,103-146);
 the races live in each round's unsynchronized read-then-scatter — XLA
 last-writer-wins IS the lost-update semantics (SURVEY.md §2.4 P5).
+
+Probe semantics follow the reference exactly: the probe scans ONLY the
+table (NoCCHashBuild.hpp:65-80) — conflicts feed outputSum, never
+totalMatches.  (htm/atomic keep the engineered spill-probe improvement;
+nocc is the deliberately-lossy baseline, so its losses must stay visible.)
 """
 
 from __future__ import annotations
@@ -51,8 +56,9 @@ def nocc_join(r: Relation, s: Optional[Relation] = None,
     spill = SpillState(rkeys, pending, timer)
     matches = None
     if skeys is not None:
+        # table-only scan (NoCCHashBuild.hpp:65-80): spilled conflicts are
+        # NOT probed — they contribute to outputSum only
         matches = int(timer.timed("probe", _probe, table, skeys, cfg.probe_length))
-        matches += spill.probe_count(skeys, timer)
     m = JoinMetrics(algo="nocc", rSize=cfg.r_size,
                     transactionSize=cfg.transaction_size,
                     probeLength=cfg.probe_length,

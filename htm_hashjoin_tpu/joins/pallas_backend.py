@@ -330,13 +330,18 @@ def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
         r2d = to_tiles_2d(rkeys, tile)
         out_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
         bundle = np.asarray(jnp.stack([out_sum]))
-        return BandedJoinOutcome(0, 0, 0, int(bundle[0]), False,
-                                 int(bundle[0]))
+        out = BandedJoinOutcome(0, 0, 0, int(bundle[0]), False,
+                                int(bundle[0]))
+        if return_tile_violations:
+            # certified-sorted input: zero aborts per tile by construction
+            n_tiles = r2d.shape[0] // (tile // LANES)
+            return out, np.zeros(n_tiles, np.int64)
+        return out
     if presort:
         from ..ops.pallas.join_kernels import global_sort_tiles
         r2d = to_tiles_2d_pow2(rkeys, tile)
         sorted2d = global_sort_tiles(r2d, tile=tile, interpret=interpret)
-        viols = jnp.zeros((1,), jnp.int64)
+        viols = jnp.zeros((r2d.shape[0] // (tile // LANES),), jnp.int64)
         optimistic = False
     else:
         r2d = to_tiles_2d(rkeys, tile)
@@ -345,8 +350,10 @@ def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
         sorted2d, stats = sort_tiles(r2d, tile=tile, method=method,
                                      passes=max(1, passes),
                                      interpret=interpret)
-        viols = stats[:, 2].astype(jnp.int64) if optimistic \
-            else jnp.zeros((1,), jnp.int64)
+        # stats lane 2 is identically 0 for the exact bitonic sorter, so the
+        # per-tile vector is correct for BOTH plans (the TM_TRACK histogram
+        # rides the same readback either way)
+        viols = stats[:, 2].astype(jnp.int64)
     out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
     in_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
     head = jnp.stack([_sum_i64(viols), out_sum, in_sum])

@@ -40,11 +40,17 @@ def sortmerge_join(r: Relation, s: Optional[Relation] = None,
     if use_pallas_engine(cfg, s):
         # sort-merge IS the presort banded plan: global sort + banded
         # merge-count megakernel (the two-pointer merge of SortMerge.cpp:22-36
-        # as an in-VMEM bitonic merge)
+        # as an in-VMEM bitonic merge).  The reference reports sortTime and
+        # mergeTime as separate host-fenced phases (SortMerge.cpp:50-69), so
+        # this path — alone among the banded plans — pays TWO fences: one
+        # after the sort megakernels, one after the count.
         import time
 
-        from .pallas_backend import banded_join_pipelined
+        import numpy as np
 
+        from .pallas_backend import (banded_join_pipelined, to_tiles_2d,
+                                     to_tiles_2d_pow2, prepare_probe_side,
+                                     sort_probe_side)
         from .common import keys_unique_both
 
         interpret = jax.default_backend() == "cpu"
@@ -52,16 +58,33 @@ def sortmerge_join(r: Relation, s: Optional[Relation] = None,
         t0 = time.perf_counter()
         # sorted input skips the sort outright — the analog of timsort's
         # O(n) pass on sorted runs the reference leans on (SortMerge.cpp:18)
-        out = banded_join_pipelined(r.keys, s.keys, presort=not sorted_in,
-                                    presorted=sorted_in,
-                                    sort_s=not s.assume_sorted,
-                                    unique_both=keys_unique_both(cfg),
+        if sorted_in:
+            r_sorted = r.keys
+        else:
+            from ..ops.pallas.join_kernels import global_sort_tiles
+            r2d = global_sort_tiles(to_tiles_2d_pow2(r.keys, 65536),
                                     interpret=interpret)
-        elapsed_us = (time.perf_counter() - t0) * 1e6
-        m = pallas_metrics(cfg, "sortmerge", out, elapsed_us, out.matches)
-        m.sortTimeInMicroseconds = elapsed_us
-        m.mergeTimeInMicroseconds = 0.0
-        m.probeTimeInMicroseconds = 0.0
+            r_sorted = r2d.reshape(-1)[: r.keys.shape[0]]
+        if s.assume_sorted:
+            skeys_sorted, s2d = s.keys, None
+        else:
+            skeys_sorted, s2d = sort_probe_side(s.keys, interpret=interpret)
+        # phase fence: a one-element readback drains the sort megakernels
+        # (block_until_ready does not fence on this platform)
+        int(np.asarray(r_sorted[:1])[0])
+        if s2d is not None:
+            int(np.asarray(s2d[:1, :1])[0, 0])
+        sort_us = (time.perf_counter() - t0) * 1e6
+        t1 = time.perf_counter()
+        out = banded_join_pipelined(r_sorted, skeys_sorted, presorted=True,
+                                    unique_both=keys_unique_both(cfg),
+                                    s2d=s2d, interpret=interpret)
+        merge_us = (time.perf_counter() - t1) * 1e6
+        m = pallas_metrics(cfg, "sortmerge", out, sort_us + merge_us,
+                           out.matches)
+        m.sortTimeInMicroseconds = sort_us
+        m.mergeTimeInMicroseconds = merge_us
+        m.probeTimeInMicroseconds = merge_us
         return m
     rkeys, skeys = resolve_relations(r, s, cfg)
     timer = PhaseTimer()

@@ -38,10 +38,21 @@ class JoinMetrics:
     outputSum: int = 0
     extra: Dict[str, Any] = field(default_factory=dict)
 
+    # Fields the nocc/atomic reference binaries never print — their JSON is
+    # just algo/rSize/probeLength/time/conflicts/[matches]/sums
+    # (NoCCHashBuild.hpp:127-146, AtomicHashBuild.hpp:133-152); emitting the
+    # HTM-only fields there would make the schema a superset.
+    _HTM_ONLY_FIELDS = frozenset({
+        "transactionSize", "failedTransactions",
+        "failedTransactionPercentage", "totalFailedPercentage",
+    })
+
     def to_dict(self) -> Dict[str, Any]:
         out: Dict[str, Any] = {}
         for k, v in self.__dict__.items():
             if k == "extra" or v is None:
+                continue
+            if self.algo in ("nocc", "atomic") and k in self._HTM_ONLY_FIELDS:
                 continue
             # atomic/nocc name their spill count "conflicts"
             # (AtomicHashBuild.hpp:143, NoCCHashBuild.hpp:137); htm says

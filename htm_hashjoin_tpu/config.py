@@ -90,6 +90,12 @@ class JoinConfig:
     mesh_shape: Tuple[int, ...] = ()      # empty = single device
     shuffle_capacity_factor: float = 2.0  # all_to_all padded bucket slack
 
+    # Sustained-throughput timing: enqueue this many back-to-back runs of the
+    # same join and fence ONCE (bench.py's production-serving shape).  1 =
+    # single-run timing.  Lifts the ~25 ms host-tunnel fence out of per-point
+    # grid times; the single-run time is still reported alongside.
+    pipeline_depth: int = 1
+
     # Kernel backend: 'auto' picks the Pallas banded engine on accelerator
     # backends when the plan qualifies (sorted probe side, packable keys),
     # 'pallas' forces it (interpret-mode on CPU), 'xla' forces the scatter/

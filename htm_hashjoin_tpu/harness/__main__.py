@@ -18,12 +18,19 @@ def main(argv=None) -> int:
                    help="repetitions per grid (runner.sh N=5)")
     p.add_argument("--outDir", default=None,
                    help="write <grid>_log<i> files here")
+    p.add_argument("--pipelineDepth", type=int, default=1,
+                   help="sustained-throughput timing: enqueue K back-to-back "
+                        "runs per point, fence once (lifts the ~25 ms "
+                        "host-tunnel fence out of per-point times; the "
+                        "single-run time is reported alongside)")
     a = p.parse_args(argv)
     if a.grid == "all":
         run_all(scale=a.scale, reps=a.reps,
-                out_dir=a.outDir or "experiments/logs")
+                out_dir=a.outDir or "experiments/logs",
+                pipeline_depth=a.pipelineDepth)
     else:
-        run_grid(a.grid, scale=a.scale, reps=a.reps, out_dir=a.outDir)
+        run_grid(a.grid, scale=a.scale, reps=a.reps, out_dir=a.outDir,
+                 pipeline_depth=a.pipelineDepth)
     return 0
 
 

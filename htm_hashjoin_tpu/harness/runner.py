@@ -58,9 +58,15 @@ def run_config(cfg: JoinConfig) -> str:
 
 
 def run_grid(name: str, *, scale: int = 20, reps: int = 5,
-             out_dir: Optional[str] = None, echo: bool = True) -> List[str]:
+             out_dir: Optional[str] = None, echo: bool = True,
+             pipeline_depth: int = 1) -> List[str]:
     """Run grid ``name`` ``reps`` times; write <name>_log<i> files when
-    out_dir is given.  Returns the last repetition's lines."""
+    out_dir is given.  Returns the last repetition's lines.
+
+    pipeline_depth > 1 switches per-point timing to the sustained-throughput
+    shape (enqueue K, fence once — bench.py:74-84) on the banded-engine
+    paths; single-run times ride along as singleRunTimeInMicroseconds."""
+    import dataclasses
     if name not in GRIDS:
         raise ValueError(f"unknown grid {name!r}; have {sorted(GRIDS)}")
     lines: List[str] = []
@@ -68,6 +74,8 @@ def run_grid(name: str, *, scale: int = 20, reps: int = 5,
         lines = []
         t0 = time.time()
         for cfg in GRIDS[name](scale):
+            if pipeline_depth > 1:
+                cfg = dataclasses.replace(cfg, pipeline_depth=pipeline_depth)
             line = run_config(cfg)
             lines.append(line)
             if echo:
@@ -83,7 +91,9 @@ def run_grid(name: str, *, scale: int = 20, reps: int = 5,
 
 
 def run_all(*, scale: int = 20, reps: int = 5,
-            out_dir: str = "experiments/logs") -> None:
+            out_dir: str = "experiments/logs",
+            pipeline_depth: int = 1) -> None:
     """runner.sh: every grid, N repetitions, logs on disk."""
     for name in RUNNER_ORDER:
-        run_grid(name, scale=scale, reps=reps, out_dir=out_dir)
+        run_grid(name, scale=scale, reps=reps, out_dir=out_dir,
+                 pipeline_depth=pipeline_depth)

@@ -33,8 +33,9 @@ from ..ops import insert, probe
 from ..utils.metrics import JoinMetrics
 from ..utils.timing import PhaseTimer
 from .common import (SpillState, finish_metrics, htm_num_buckets,
-                     keys_are_unique, keys_unique_both, pallas_metrics,
-                     pallas_plan, resolve_relations, use_pallas_engine,
+                     keys_are_unique, keys_unique_both,
+                     maybe_pipeline_timing, pallas_metrics, pallas_plan,
+                     resolve_relations, use_pallas_engine,
                      use_pallas_engine_build)
 
 
@@ -145,7 +146,7 @@ def _htm_build_pallas(cfg: JoinConfig, r: Relation) -> JoinMetrics:
 
     from .pallas_backend import banded_build_pipelined
 
-    plan = pallas_plan(cfg)
+    plan = pallas_plan(cfg, probing=False)
     interpret = jax.default_backend() == "cpu"
     t0 = time.perf_counter()
     res = banded_build_pipelined(r.keys, locality_window=plan.window,
@@ -163,8 +164,11 @@ def _htm_build_pallas(cfg: JoinConfig, r: Relation) -> JoinMetrics:
         frac = (tile_viols / 65536.0).tolist()
         m.extra["chunkFailureFractions"] = [float(f) for f in frac[:64]]
         m.extra["maxChunkFailureFraction"] = float(max(frac)) if frac else 0.0
-        return m
-    return pallas_metrics(cfg, "htm", res, elapsed_us, None)
+    else:
+        out = res
+        m = pallas_metrics(cfg, "htm", out, elapsed_us, None)
+    maybe_pipeline_timing(m, cfg, plan, r, None, out, interpret)
+    return m
 
 
 def _htm_join_pallas(r: Relation, s: Relation, cfg: JoinConfig) -> JoinMetrics:
@@ -188,4 +192,6 @@ def _htm_join_pallas(r: Relation, s: Relation, cfg: JoinConfig) -> JoinMetrics:
                                 unique_both=keys_unique_both(cfg),
                                 interpret=interpret)
     elapsed_us = (time.perf_counter() - t0) * 1e6
-    return pallas_metrics(cfg, "htm", out, elapsed_us, out.matches)
+    m = pallas_metrics(cfg, "htm", out, elapsed_us, out.matches)
+    maybe_pipeline_timing(m, cfg, plan, r, s, out, interpret)
+    return m

@@ -310,33 +310,21 @@ def enqueue_banded_join(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                                interpret=False)
 
 
-def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
-                           locality_window: Optional[int] = None,
-                           presort: bool = False, presorted: bool = False,
-                           return_tile_violations: bool = False,
-                           interpret: bool = False):
-    """Build-only banded pipeline (the reference's default ENABLE_PROBE=off
-    grids, config.h:4): produce the probe-able sorted-tile artifact with ONE
-    host readback.  Locality plans take the optimistic bounded-displacement
-    sorter (violations = the abort count, bitonic retry = TM_RETRY);
-    unbounded distributions take the global-sort megakernel so the artifact
-    has disjoint tile ranges, same as the build half of the presort join
-    plan.  ``presorted`` = generator-certified sorted input: the input IS
-    the artifact, so the build reduces to the stats/conservation pass (the
-    planner analog of timsort's O(n) on sorted runs, which the reference's
-    own SortMerge leans on, SortMerge.cpp:18).  matches is 0 (no probe
-    side)."""
+def _enqueue_build(rkeys: jax.Array, *, tile: int,
+                   locality_window: Optional[int], presort: bool,
+                   presorted: bool, interpret: bool):
+    """Enqueue the build-only device chain WITHOUT any host sync.
+
+    Returns (head, viols, r2d, optimistic): head stacks
+    [Σviolations, outputSum, inputSum]; viols is the per-tile violation
+    vector (the TM_TRACK histogram source)."""
     if presorted:
         r2d = to_tiles_2d(rkeys, tile)
         out_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
-        bundle = np.asarray(jnp.stack([out_sum]))
-        out = BandedJoinOutcome(0, 0, 0, int(bundle[0]), False,
-                                int(bundle[0]))
-        if return_tile_violations:
-            # certified-sorted input: zero aborts per tile by construction
-            n_tiles = r2d.shape[0] // (tile // LANES)
-            return out, np.zeros(n_tiles, np.int64)
-        return out
+        # certified-sorted input: zero aborts per tile by construction
+        viols = jnp.zeros((r2d.shape[0] // (tile // LANES),), jnp.int64)
+        return jnp.stack([jnp.zeros((), jnp.int64), out_sum,
+                          out_sum]), viols, r2d, False
     if presort:
         from ..ops.pallas.join_kernels import global_sort_tiles
         r2d = to_tiles_2d_pow2(rkeys, tile)
@@ -356,7 +344,44 @@ def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
         viols = stats[:, 2].astype(jnp.int64)
     out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
     in_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
-    head = jnp.stack([_sum_i64(viols), out_sum, in_sum])
+    return jnp.stack([_sum_i64(viols), out_sum, in_sum]), viols, r2d, \
+        optimistic
+
+
+def enqueue_banded_build(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
+                         locality_window: Optional[int] = None,
+                         presort: bool = False, presorted: bool = False,
+                         interpret: bool = False) -> jax.Array:
+    """Enqueue one build-only pipeline without a fence; returns the device
+    head [Σviolations, outputSum, inputSum].  For sustained-throughput
+    timing: enqueue K, np.asarray the last head once."""
+    head, _, _, _ = _enqueue_build(rkeys, tile=tile,
+                                   locality_window=locality_window,
+                                   presort=presort, presorted=presorted,
+                                   interpret=interpret)
+    return head
+
+
+def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
+                           locality_window: Optional[int] = None,
+                           presort: bool = False, presorted: bool = False,
+                           return_tile_violations: bool = False,
+                           interpret: bool = False):
+    """Build-only banded pipeline (the reference's default ENABLE_PROBE=off
+    grids, config.h:4): produce the probe-able sorted-tile artifact with ONE
+    host readback.  Locality plans take the optimistic bounded-displacement
+    sorter (violations = the abort count, bitonic retry = TM_RETRY);
+    unbounded distributions take a tile-local bitonic — per-tile sorted runs
+    + the per-tile directory are a probe-able artifact (the wide-band plan's
+    build half), so no global sort is needed when no probe follows.
+    ``presorted`` = generator-certified sorted input: the input IS the
+    artifact, so the build reduces to the stats/conservation pass (the
+    planner analog of timsort's O(n) on sorted runs, which the reference's
+    own SortMerge leans on, SortMerge.cpp:18).  matches is 0 (no probe
+    side)."""
+    head, viols, r2d, optimistic = _enqueue_build(
+        rkeys, tile=tile, locality_window=locality_window, presort=presort,
+        presorted=presorted, interpret=interpret)
     if return_tile_violations:
         # per-tile violation counts (the TM_TRACK abort-histogram analog)
         # ride the SAME readback — a second np.asarray would cost another
@@ -395,6 +420,63 @@ def sort_probe_side(skeys: jax.Array, tile: int = DEFAULT_TILE,
     return skeys_sorted, s2d
 
 
+def _prepare_join(rkeys, skeys_sorted, *, tile, locality_window, presort,
+                  presorted, sort_s, unique_both, max_chunks, narrow,
+                  interpret, s2d):
+    """Shared prologue of the full-join pipelines (plan → device inputs);
+    enqueues the R/S sorts, fences nothing."""
+    if sort_s:
+        skeys_sorted, s2d = sort_probe_side(skeys_sorted, tile, max_chunks,
+                                            interpret=interpret)
+    if presorted:
+        r2d = to_tiles_2d(rkeys, tile)
+        method, passes = "presorted", 0
+    elif presort:
+        # global sort via the grouped bitonic megakernels — ~2x XLA's
+        # jnp.sort at 2^27 on v5e (and the same code path CPU tests cover
+        # in interpret mode)
+        from ..ops.pallas.join_kernels import global_sort_tiles
+        r2d = global_sort_tiles(to_tiles_2d_pow2(rkeys, tile), tile=tile,
+                                interpret=interpret)
+        method, passes = "presorted", 0
+    else:
+        r2d = to_tiles_2d(rkeys, tile)
+        method, passes = _sort_method(locality_window, tile)
+    if narrow is None:
+        # narrow bands are certain for unique keys and expected for
+        # locality-sorted builds; presorted DUPLICATE-heavy plans can have
+        # arbitrarily wide bands (a key run straddling a tile boundary), so
+        # they keep the general multi-chunk kernel unless keys are unique
+        narrow = unique_both or method in ("oddeven", "blocks")
+    if s2d is None:
+        s2d = prepare_probe_side(skeys_sorted, tile, max_chunks)
+    return r2d, s2d, skeys_sorted, method, passes, narrow
+
+
+def enqueue_full_join(rkeys: jax.Array, skeys_sorted: jax.Array, *,
+                      tile: int = DEFAULT_TILE,
+                      locality_window: Optional[int] = None,
+                      presort: bool = False, presorted: bool = False,
+                      sort_s: bool = False, unique_both: bool = False,
+                      max_chunks: int = 4, narrow: Optional[bool] = None,
+                      interpret: bool = False,
+                      s2d: Optional[jax.Array] = None):
+    """Enqueue one full build+probe on ANY plan tier (unlike
+    enqueue_banded_join, which is narrow-only) without a fence; returns the
+    raw device result tuple — fence via np.asarray(jnp.stack(res[:5]))."""
+    (r2d, s2d, skeys_sorted, method, passes,
+     narrow) = _prepare_join(rkeys, skeys_sorted, tile=tile,
+                             locality_window=locality_window,
+                             presort=presort, presorted=presorted,
+                             sort_s=sort_s, unique_both=unique_both,
+                             max_chunks=max_chunks, narrow=narrow,
+                             interpret=interpret, s2d=s2d)
+    return _banded_join_device(r2d, s2d, skeys_sorted, tile=tile,
+                               method=method, passes=passes,
+                               max_chunks=max_chunks, unique_both=unique_both,
+                               narrow=narrow, interpret=interpret)
+
+
 def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                           tile: int = DEFAULT_TILE,
                           locality_window: Optional[int] = None,
@@ -423,31 +505,13 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
     surface in the readback as failedTransactions).
     ``sort_s`` = the probe side arrives UNSORTED (zipf/fk/nonunique S):
     globally sort it on device first."""
-    if sort_s:
-        skeys_sorted, s2d = sort_probe_side(skeys_sorted, tile, max_chunks,
-                                            interpret=interpret)
-    if presorted:
-        r2d = to_tiles_2d(rkeys, tile)
-        method, passes = "presorted", 0
-    elif presort:
-        # global sort via the grouped bitonic megakernels — ~2x XLA's
-        # jnp.sort at 2^27 on v5e (and the same code path CPU tests cover
-        # in interpret mode)
-        from ..ops.pallas.join_kernels import global_sort_tiles
-        r2d = global_sort_tiles(to_tiles_2d_pow2(rkeys, tile), tile=tile,
-                                interpret=interpret)
-        method, passes = "presorted", 0
-    else:
-        r2d = to_tiles_2d(rkeys, tile)
-        method, passes = _sort_method(locality_window, tile)
-    if narrow is None:
-        # narrow bands are certain for unique keys and expected for
-        # locality-sorted builds; presorted DUPLICATE-heavy plans can have
-        # arbitrarily wide bands (a key run straddling a tile boundary), so
-        # they keep the general multi-chunk kernel unless keys are unique
-        narrow = unique_both or method in ("oddeven", "blocks")
-    if s2d is None:
-        s2d = prepare_probe_side(skeys_sorted, tile, max_chunks)
+    (r2d, s2d, skeys_sorted, method, passes,
+     narrow) = _prepare_join(rkeys, skeys_sorted, tile=tile,
+                             locality_window=locality_window,
+                             presort=presort, presorted=presorted,
+                             sort_s=sort_s, unique_both=unique_both,
+                             max_chunks=max_chunks, narrow=narrow,
+                             interpret=interpret, s2d=s2d)
     res = _banded_join_device(r2d, s2d, skeys_sorted, tile=tile,
                               method=method, passes=passes,
                               max_chunks=max_chunks, unique_both=unique_both,

@@ -544,8 +544,14 @@ def _count_narrow_megakernel(row_off_smem, rows_needed_smem, r_hbm, s_hbm,
             jnp.concatenate([comp_sm, linops.lreverse(comp_rm)], axis=0))
         contribm = contributions(mergedm, ones_s, zeros_s, neg_s)
 
-        # exactness certificate; failing tiles contribute 0 and get flagged
-        ok = (mx_pre < ovh_min) & (rows_needed_smem[t] <= rpt + OV_ROWS)
+        # exactness certificate; failing tiles contribute 0 and get flagged.
+        # A band that fits the first window needs no overhang check at all:
+        # overhang S keys are then all > the tile max (they sit past the
+        # searchsorted end), so the mini-merge contributes 0 — this also
+        # clears the spurious flag on padded tiles, where mx_pre reads the
+        # MAXI32 sentinel.
+        ok = (rows_needed_smem[t] <= rpt) | (
+            (mx_pre < ovh_min) & (rows_needed_smem[t] <= rpt + OV_ROWS))
         acc[:] = acc[:] + jnp.where(ok, contrib0, zeros_m)
         acc[0:2 * OV_ROWS, :] = (acc[0:2 * OV_ROWS, :]
                                  + jnp.where(ok, contribm, zeros_s))
@@ -715,7 +721,10 @@ def _fused_sort_count_kernel(row_off_smem, rows_needed_smem, r_hbm, s_hbm,
             jnp.concatenate([comp_sm, linops.lreverse(comp_rm)], axis=0))
         contribm = contributions(mergedm, ones_s, zeros_s, neg_s)
 
-        ok = (mx_pre < ovh_min) & (rows_needed_smem[t] <= rpt + OV_ROWS)
+        # same relaxed certificate as the narrow count kernel: a band inside
+        # the first window is complete without the overhang check
+        ok = (rows_needed_smem[t] <= rpt) | (
+            (mx_pre < ovh_min) & (rows_needed_smem[t] <= rpt + OV_ROWS))
         acc[:] = acc[:] + jnp.where(ok, contrib0, zeros_m)
         acc[0:2 * OV_ROWS, :] = (acc[0:2 * OV_ROWS, :]
                                  + jnp.where(ok, contribm, zeros_s))

@@ -132,3 +132,76 @@ def test_sortmerge_pallas_phase_split():
     m2 = sortmerge_join(r2, s2, cfg2)
     assert m2.totalMatches == N
     assert m2.mergeTimeInMicroseconds > 0
+
+
+def test_build_only_plan_avoids_global_sort():
+    """Build-only unbounded distributions take the tile-local bitonic plan
+    (VERDICT r1 task 1a): a probe-able per-tile artifact without the global
+    sort the probing plan needs."""
+    from htm_hashjoin_tpu.joins.common import pallas_plan
+
+    for dist, w in ((Distribution.SHUFFLE, 16),
+                    (Distribution.LOCAL_SHUFFLE, 1 << 17),
+                    (Distribution.PK, 16)):
+        cfg = JoinConfig(algo=Algo.HTM, r_size=N, data_distr=dist,
+                         shuffle_range=w, enable_probe=False)
+        build_plan = pallas_plan(cfg, probing=False)
+        assert not build_plan.presort and not build_plan.presorted, dist
+        # the probing plan still global-sorts (bands must stay bounded)
+        assert pallas_plan(cfg, probing=True).presort, dist
+
+
+def test_build_only_shuffle_pallas_conserves():
+    cfg = JoinConfig(algo=Algo.HTM, r_size=N, data_distr=Distribution.SHUFFLE,
+                     enable_probe=False, backend="pallas")
+    r, s = build_relations(cfg)
+    m = htm_join(r, s, cfg)
+    assert m.extra["backend"] == "pallas_banded"
+    assert m.inputSum == m.outputSum == N * (N + 1) // 2
+    assert m.failedTransactions == 0          # exact sorter: no aborts
+
+
+def test_pipeline_depth_timing():
+    """pipeline_depth > 1 reports sustained per-run time + the single-run
+    time alongside, with identical join results."""
+    cfg1 = JoinConfig(algo=Algo.HTM, r_size=N,
+                      data_distr=Distribution.LOCAL_SHUFFLE, shuffle_range=16,
+                      backend="pallas")
+    cfg3 = JoinConfig(algo=Algo.HTM, r_size=N,
+                      data_distr=Distribution.LOCAL_SHUFFLE, shuffle_range=16,
+                      backend="pallas", pipeline_depth=3)
+    r, s = build_relations(cfg1)
+    m1 = htm_join(r, s, cfg1)
+    m3 = htm_join(r, s, cfg3)
+    assert "pipelineDepth" not in m1.extra
+    assert m3.extra["pipelineDepth"] == 3
+    assert m3.extra["singleRunTimeInMicroseconds"] > 0
+    assert m3.hashBuildTimeInMicroseconds > 0
+    assert m3.totalMatches == m1.totalMatches == N
+    # build-only path too
+    cfgb = JoinConfig(algo=Algo.HTM, r_size=N,
+                      data_distr=Distribution.SHUFFLE, enable_probe=False,
+                      backend="pallas", pipeline_depth=2)
+    rb, sb = build_relations(cfgb)
+    mb = htm_join(rb, sb, cfgb)
+    assert mb.extra["pipelineDepth"] == 2
+    assert mb.inputSum == mb.outputSum
+
+
+def test_plan_pinned_per_window():
+    """Regression for the r1 w=8192 anomaly investigation: every window in
+    (512, 65536] takes the SAME wide-band bitonic plan — neighbors may not
+    diverge (the 299 ms outlier was a one-rep compile-service stall, not a
+    plan boundary; adaptive_log1/TSize logs show ~97 ms at w=8192)."""
+    from htm_hashjoin_tpu.joins.common import pallas_plan
+
+    def plan_at(w):
+        return pallas_plan(JoinConfig(
+            algo=Algo.HTM, r_size=N, data_distr=Distribution.LOCAL_SHUFFLE,
+            shuffle_range=w))
+
+    mid = [plan_at(w) for w in (1024, 2048, 4096, 8192, 16384, 32768, 65536)]
+    assert all(p == mid[0] for p in mid)
+    assert mid[0] == (None, False, False, False)
+    assert plan_at(512) == (512, False, False, None)   # optimistic tier
+    assert plan_at(131072) == (None, True, False, None)  # sort-first tier

@@ -101,6 +101,14 @@ def htm_join(r: Relation, s: Optional[Relation] = None,
         cf = [float(x) for x in chunk_fail]
         m.extra["chunkFailureFractions"] = cf[:64]
         m.extra["maxChunkFailureFraction"] = max(cf) if cf else 0.0
+        # TM_TRACK cause decomposition (HTMHashBuild.hpp:134-142) on the XLA
+        # scatter build: an optimistic-slot loss is a duplicate/bucket alias
+        # (the _XABORT_CONFLICT analog), a claim-round residue that spilled
+        # is capacity exhaustion (_XABORT_CAPACITY); there is no bounded-
+        # displacement assumption on this path, so displacement = 0
+        m.extra["failureCauseDisplacement"] = 0
+        m.extra["failureCauseDuplicateAlias"] = int(failed)
+        m.extra["failureCauseBandOverflow"] = spill.count
     if cfg.adaptive:
         trace = simulate_adaptive_tsize(
             [float(x) for x in chunk_fail], cfg.transaction_size)
@@ -156,7 +164,7 @@ def _htm_build_pallas(cfg: JoinConfig, r: Relation) -> JoinMetrics:
                                  interpret=interpret)
     elapsed_us = (time.perf_counter() - t0) * 1e6
     if cfg.track:
-        out, tile_viols = res
+        out, tile_viols, tile_dups = res
         m = pallas_metrics(cfg, "htm", out, elapsed_us, None)
         # TM_TRACK abort-histogram analog (HTMHashBuild.hpp:134-142): the
         # per-tile violation fractions of the optimistic sorter (chunk =
@@ -164,6 +172,18 @@ def _htm_build_pallas(cfg: JoinConfig, r: Relation) -> JoinMetrics:
         frac = (tile_viols / 65536.0).tolist()
         m.extra["chunkFailureFractions"] = [float(f) for f in frac[:64]]
         m.extra["maxChunkFailureFraction"] = float(max(frac)) if frac else 0.0
+        # cause decomposition — the reference's "Conflict Reason: b1..b7"
+        # line (HTMHashBuild.hpp:451-453, experiments/old/track_log:2),
+        # re-expressed in the banded engine's failure modes: a displacement
+        # past the optimistic sorter's band is the retry/conflict-bit
+        # analog, a duplicate key aliasing a slot is _XABORT_CONFLICT, and
+        # band overflow (S-slice past the kernel's reach; build-only runs
+        # have no band) is _XABORT_CAPACITY
+        m.extra["failureCauseDisplacement"] = int(tile_viols.sum())
+        m.extra["failureCauseDuplicateAlias"] = int(tile_dups.sum())
+        m.extra["failureCauseBandOverflow"] = out.overflow_tiles
+        dup_frac = (tile_dups / 65536.0).tolist()
+        m.extra["duplicateAliasFractions"] = [float(f) for f in dup_frac[:64]]
     else:
         out = res
         m = pallas_metrics(cfg, "htm", out, elapsed_us, None)
@@ -193,5 +213,11 @@ def _htm_join_pallas(r: Relation, s: Relation, cfg: JoinConfig) -> JoinMetrics:
                                 interpret=interpret)
     elapsed_us = (time.perf_counter() - t0) * 1e6
     m = pallas_metrics(cfg, "htm", out, elapsed_us, out.matches)
+    if cfg.track:
+        # join-path cause split (TM_TRACK analog): displacement violations
+        # of the optimistic sorter vs band overflow of the probe kernel —
+        # the two failure modes this path actually has
+        m.extra["failureCauseDisplacement"] = out.violations
+        m.extra["failureCauseBandOverflow"] = out.overflow_tiles
     maybe_pipeline_timing(m, cfg, plan, r, s, out, interpret)
     return m

@@ -310,26 +310,41 @@ def enqueue_banded_join(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                                interpret=False)
 
 
+@functools.partial(jax.jit, static_argnames=("rows_per_tile",))
+def _tile_dup_counts(sorted2d: jax.Array, rows_per_tile: int) -> jax.Array:
+    """Per-tile duplicate-alias counts: adjacent equal keys in the sorted
+    tile (padding excluded).  The TM_TRACK _XABORT_CONFLICT analog
+    (HTMHashBuild.hpp:136-137): two equal keys alias the same table slot,
+    which is exactly what made reference transactions conflict."""
+    f = sorted2d.shape[0] // rows_per_tile
+    tiles = sorted2d.reshape(f, rows_per_tile * LANES)
+    eq = (tiles[:, 1:] == tiles[:, :-1]) & (tiles[:, 1:] != MAXI32)
+    return jnp.sum(eq, axis=1, dtype=jnp.int64)
+
+
 def _enqueue_build(rkeys: jax.Array, *, tile: int,
                    locality_window: Optional[int], presort: bool,
-                   presorted: bool, interpret: bool):
+                   presorted: bool, interpret: bool, track: bool = False):
     """Enqueue the build-only device chain WITHOUT any host sync.
 
-    Returns (head, viols, r2d, optimistic): head stacks
+    Returns (head, viols, dups, r2d, optimistic): head stacks
     [Σviolations, outputSum, inputSum]; viols is the per-tile violation
-    vector (the TM_TRACK histogram source)."""
+    vector and dups the per-tile duplicate-alias vector (the TM_TRACK
+    cause-histogram sources; dups only computed when ``track``)."""
+    rows_per_tile = tile // LANES
     if presorted:
         r2d = to_tiles_2d(rkeys, tile)
         out_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
         # certified-sorted input: zero aborts per tile by construction
-        viols = jnp.zeros((r2d.shape[0] // (tile // LANES),), jnp.int64)
+        viols = jnp.zeros((r2d.shape[0] // rows_per_tile,), jnp.int64)
+        dups = _tile_dup_counts(r2d, rows_per_tile) if track else viols
         return jnp.stack([jnp.zeros((), jnp.int64), out_sum,
-                          out_sum]), viols, r2d, False
+                          out_sum]), viols, dups, r2d, False
     if presort:
         from ..ops.pallas.join_kernels import global_sort_tiles
         r2d = to_tiles_2d_pow2(rkeys, tile)
         sorted2d = global_sort_tiles(r2d, tile=tile, interpret=interpret)
-        viols = jnp.zeros((r2d.shape[0] // (tile // LANES),), jnp.int64)
+        viols = jnp.zeros((r2d.shape[0] // rows_per_tile,), jnp.int64)
         optimistic = False
     else:
         r2d = to_tiles_2d(rkeys, tile)
@@ -342,9 +357,11 @@ def _enqueue_build(rkeys: jax.Array, *, tile: int,
         # per-tile vector is correct for BOTH plans (the TM_TRACK histogram
         # rides the same readback either way)
         viols = stats[:, 2].astype(jnp.int64)
+    dups = (_tile_dup_counts(sorted2d, rows_per_tile) if track else
+            jnp.zeros_like(viols))
     out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
     in_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
-    return jnp.stack([_sum_i64(viols), out_sum, in_sum]), viols, r2d, \
+    return jnp.stack([_sum_i64(viols), out_sum, in_sum]), viols, dups, r2d, \
         optimistic
 
 
@@ -355,10 +372,10 @@ def enqueue_banded_build(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
     """Enqueue one build-only pipeline without a fence; returns the device
     head [Σviolations, outputSum, inputSum].  For sustained-throughput
     timing: enqueue K, np.asarray the last head once."""
-    head, _, _, _ = _enqueue_build(rkeys, tile=tile,
-                                   locality_window=locality_window,
-                                   presort=presort, presorted=presorted,
-                                   interpret=interpret)
+    head, _, _, _, _ = _enqueue_build(rkeys, tile=tile,
+                                      locality_window=locality_window,
+                                      presort=presort, presorted=presorted,
+                                      interpret=interpret)
     return head
 
 
@@ -378,15 +395,23 @@ def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
     artifact, so the build reduces to the stats/conservation pass (the
     planner analog of timsort's O(n) on sorted runs, which the reference's
     own SortMerge leans on, SortMerge.cpp:18).  matches is 0 (no probe
-    side)."""
-    head, viols, r2d, optimistic = _enqueue_build(
+    side).
+
+    With ``return_tile_violations`` (TM_TRACK) the return is
+    (outcome, per_tile_violations, per_tile_duplicate_aliases) — both cause
+    vectors ride the single readback (HTMHashBuild.hpp:134-142's abort-cause
+    bits, decomposed the TPU way: displacement violations of the optimistic
+    sorter vs duplicate-key slot aliases)."""
+    head, viols, dups, r2d, optimistic = _enqueue_build(
         rkeys, tile=tile, locality_window=locality_window, presort=presort,
-        presorted=presorted, interpret=interpret)
+        presorted=presorted, interpret=interpret,
+        track=return_tile_violations)
+    n_tiles = viols.shape[0]
     if return_tile_violations:
-        # per-tile violation counts (the TM_TRACK abort-histogram analog)
-        # ride the SAME readback — a second np.asarray would cost another
-        # ~27 ms tunnel round trip per grid point
-        head = jnp.concatenate([head, viols.reshape(-1)])
+        # per-tile cause counts (the TM_TRACK abort-histogram analog) ride
+        # the SAME readback — a second np.asarray would cost another ~27 ms
+        # tunnel round trip per grid point
+        head = jnp.concatenate([head, viols.reshape(-1), dups.reshape(-1)])
     bundle = np.asarray(head)
     resorted = False
     if optimistic and bundle[0] > 0:    # abort → exact retry
@@ -394,11 +419,17 @@ def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
                                  interpret=interpret)
         out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
         bundle[1] = np.asarray(out_sum)
+        if return_tile_violations:
+            # dup counts over a violated tile are unreliable — recompute on
+            # the exact retry artifact (aborts are the rare path; the extra
+            # readback is paid only when a retry actually ran)
+            bundle[3 + n_tiles:3 + 2 * n_tiles] = np.asarray(
+                _tile_dup_counts(sorted2d, tile // LANES))
         resorted = True
     out = BandedJoinOutcome(0, int(bundle[0]), 0, int(bundle[1]),
                             resorted, int(bundle[2]))
     if return_tile_violations:
-        return out, bundle[3:]
+        return out, bundle[3:3 + n_tiles], bundle[3 + n_tiles:]
     return out
 
 

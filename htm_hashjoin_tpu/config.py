@@ -89,6 +89,8 @@ class JoinConfig:
     # Distributed execution
     mesh_shape: Tuple[int, ...] = ()      # empty = single device
     shuffle_capacity_factor: float = 2.0  # all_to_all padded bucket slack
+    residual_repair: bool = True          # repair bucket overflow (SKEW_HANDLING
+                                          # repartition analog, parallel_radix_join.c:958-1055)
 
     # Sustained-throughput timing: enqueue this many back-to-back runs of the
     # same join and fence ONCE (bench.py's production-serving shape).  1 =

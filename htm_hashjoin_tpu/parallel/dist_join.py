@@ -20,8 +20,12 @@ normal all_to_all path.
 
 All buffers are statically shaped (padded buckets with validity sentinels):
 R-side padding is INT32_MAX, S-side padding is 0 — neither can match a real
-key (generators emit 1..2^31-2).  Dropped-tuple counts are reported, never
-silently swallowed.
+key (generators emit 1..2^31-2).  Bucket overflow is REPAIRED, not dropped:
+tuples that miss their destination bucket are compacted into a residual
+buffer and joined exactly by a cooperative repair round (_residual_matches)
+— the analog of the reference's re-partitioning of oversized partitions
+(mc/src/parallel_radix_join.c:958-1055).  Only residual-buffer overflow
+(pathological) is reported as dropped.
 """
 
 from __future__ import annotations
@@ -54,10 +58,15 @@ def _exclusive_scan(counts):
                             jnp.cumsum(counts)[:-1]])
 
 
-def _bucketize_by(keys, dest, active, nbuckets, cap, pad_value):
+def _bucketize_by(keys, dest, active, nbuckets, cap, pad_value, res_cap=0):
     """Sort local keys by a precomputed bucket index and pack into
-    (nbuckets, cap) padded send buckets.  Returns (buckets, dropped_count,
-    active_sum)."""
+    (nbuckets, cap) padded send buckets.  Returns (buckets, residual,
+    overflow_count, active_sum) where ``residual`` is a (res_cap,) buffer
+    holding the tuples that did NOT fit their destination bucket, compacted
+    to the front (the raw material for the cooperative repair round — the
+    analog of the reference's oversized-partition list,
+    mc/src/parallel_radix_join.c:958-1055).  res_cap=0 skips compaction and
+    returns a zero-length residual."""
     n = keys.shape[0]
     dest = jnp.where(active, dest, nbuckets)
     dest_s, keys_s = lax.sort_key_val(dest, keys, is_stable=True)
@@ -68,20 +77,28 @@ def _bucketize_by(keys, dest, active, nbuckets, cap, pad_value):
     slot = jnp.where(ok, dest_s * cap + pos, nbuckets * cap)
     buf = jnp.full((nbuckets * cap,), pad_value, jnp.int32)
     buf = buf.at[slot].set(keys_s, mode="drop")
-    dropped = jnp.sum(active, dtype=jnp.int64) - jnp.sum(ok, dtype=jnp.int64)
+    overflow = jnp.sum(active, dtype=jnp.int64) - jnp.sum(ok, dtype=jnp.int64)
     act_sum = jnp.sum(jnp.where(active, keys, 0).astype(jnp.int64))
-    return buf.reshape(nbuckets, cap), dropped, act_sum
+    if res_cap > 0:
+        failed = (dest_s < nbuckets) & ~ok
+        _, res_all = lax.sort_key_val(
+            jnp.where(failed, 0, 1).astype(jnp.int32),
+            jnp.where(failed, keys_s, pad_value), is_stable=False)
+        residual = res_all[:res_cap]
+    else:
+        residual = jnp.zeros((0,), jnp.int32)
+    return buf.reshape(nbuckets, cap), residual, overflow, act_sum
 
 
-def _bucketize(keys, active, ndev, cap, pad_value):
+def _bucketize(keys, active, ndev, cap, pad_value, res_cap=0):
     """Pack local keys into per-destination-device send buckets (flat 1-D
     mesh: destination = hash & (ndev-1))."""
     return _bucketize_by(keys, murmur32(keys) & (ndev - 1), active,
-                         ndev, cap, pad_value)
+                         ndev, cap, pad_value, res_cap=res_cap)
 
 
 def _exchange_hier(keys, active, ndev, hosts, chips, cap1, cap2, pad_value,
-                   host_axis="host", chip_axis="chip"):
+                   host_axis="host", chip_axis="chip", res_cap=0):
     """Two-stage hierarchical repartition over a ("host", "chip") mesh —
     SURVEY.md §5's hierarchical partitioning: the chip-level pass rides ICI
     before the host-level pass crosses DCN.  Destination device for key k is
@@ -90,18 +107,22 @@ def _exchange_hier(keys, active, ndev, hosts, chips, cap1, cap2, pad_value,
     by c (after it, local chip c holds everything this host sends to chip
     index c anywhere); stage 2 exchanges along "host" keyed by h.  Peer
     count per device drops from ndev-1 to (chips-1) + (hosts-1), and only
-    stage 2 leaves the host.  Returns (received_keys, dropped)."""
+    stage 2 leaves the host.  Returns (received_keys, residual, overflow);
+    ``residual`` concatenates both stages' overflow tuples (a tuple fails at
+    most one stage — a stage-1 casualty never reaches stage 2)."""
     dest = murmur32(keys) & (ndev - 1)
-    buf1, drop1, _ = _bucketize_by(keys, dest % chips, active,
-                                   chips, cap1, pad_value)
+    buf1, res1, ovf1, _ = _bucketize_by(keys, dest % chips, active,
+                                        chips, cap1, pad_value,
+                                        res_cap=res_cap)
     r1 = lax.all_to_all(buf1, chip_axis, split_axis=0,
                         concat_axis=0).reshape(-1)
     act1 = r1 != pad_value
     dest_h = (murmur32(r1) & (ndev - 1)) // chips   # recomputed, not shipped
-    buf2, drop2, _ = _bucketize_by(r1, dest_h, act1, hosts, cap2, pad_value)
+    buf2, res2, ovf2, _ = _bucketize_by(r1, dest_h, act1, hosts, cap2,
+                                        pad_value, res_cap=res_cap)
     r2 = lax.all_to_all(buf2, host_axis, split_axis=0,
                         concat_axis=0).reshape(-1)
-    return r2, drop1 + drop2
+    return r2, jnp.concatenate([res1, res2]), ovf1 + ovf2
 
 
 def _detect_hot_keys(keys, active, axis, ndev):
@@ -155,15 +176,47 @@ class DistResult(NamedTuple):
     output_sum_r: jax.Array
     dropped_r: jax.Array
     dropped_s: jax.Array
+    repaired_r: jax.Array
+    repaired_s: jax.Array
     num_hot: jax.Array
 
 
+def _is_dev0(axis):
+    axes = axis if isinstance(axis, tuple) else (axis,)
+    flag = jnp.bool_(True)
+    for a in axes:
+        flag = flag & (lax.axis_index(a) == 0)
+    return flag
+
+
+def _residual_matches(r_res, s_res, r_recv, s_recv, axis):
+    """Cooperative repair round: every device helps join the tuples that
+    overflowed their destination bucket — the TPU analog of the reference's
+    cooperative re-partitioning of oversized partitions
+    (mc/src/parallel_radix_join.c:958-1055).  Residual tuples are replicated
+    with all_gather; the three disjoint cross terms are
+      (residual-R x delivered-S)  counted against the LOCAL delivered S,
+      (delivered-R x residual-S)  counted against the LOCAL delivered R,
+      (residual-R x residual-S)   counted once, on device 0;
+    each delivered tuple lives on exactly one device, so the psum over the
+    per-device counts tallies every pair exactly once.  Returns the LOCAL
+    contribution (caller psums)."""
+    r_all = lax.all_gather(r_res, axis, tiled=True)
+    s_all = lax.all_gather(s_res, axis, tiled=True)
+    m1 = _count_sorted(r_all, s_recv)
+    m2 = _count_sorted(r_recv, s_all)
+    m3 = jnp.where(_is_dev0(axis), _count_sorted(r_all, s_all),
+                   jnp.zeros((), jnp.int64))
+    return m1 + m2 + m3
+
+
 def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling,
-                     axis="x", hier=None):
+                     axis="x", hier=None, res_cap=0):
     """Per-device body (runs under shard_map).  ``hier`` is None for the
     flat 1-D exchange, or (hosts, chips) for the two-stage hierarchical
     exchange over a ("host", "chip") mesh (axis is then the axis-name
-    tuple, used for the reductions)."""
+    tuple, used for the reductions).  ``res_cap`` > 0 enables the
+    cooperative residual-repair round (see _residual_matches)."""
     r_active = rk != R_PAD
     s_active = sk != S_PAD
     in_sum_r = lax.psum(jnp.sum(jnp.where(r_active, rk, 0).astype(jnp.int64)), axis)
@@ -195,15 +248,17 @@ def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling,
     if hier is not None:
         hosts, chips = hier
         h_ax, c_ax = axis           # 2-D mesh: axis is its axis-name tuple
-        r_recv, r_drop = _exchange_hier(rk, r_flow, ndev, hosts, chips,
-                                        cap_r * hosts, cap_r * chips, R_PAD,
-                                        host_axis=h_ax, chip_axis=c_ax)
-        s_recv, s_drop = _exchange_hier(sk, s_flow, ndev, hosts, chips,
-                                        cap_s * hosts, cap_s * chips, S_PAD,
-                                        host_axis=h_ax, chip_axis=c_ax)
+        r_recv, r_res, r_ovf = _exchange_hier(
+            rk, r_flow, ndev, hosts, chips, cap_r * hosts, cap_r * chips,
+            R_PAD, host_axis=h_ax, chip_axis=c_ax, res_cap=res_cap)
+        s_recv, s_res, s_ovf = _exchange_hier(
+            sk, s_flow, ndev, hosts, chips, cap_s * hosts, cap_s * chips,
+            S_PAD, host_axis=h_ax, chip_axis=c_ax, res_cap=res_cap)
     else:
-        rbuf, r_drop, _ = _bucketize(rk, r_flow, ndev, cap_r, R_PAD)
-        sbuf, s_drop, _ = _bucketize(sk, s_flow, ndev, cap_s, S_PAD)
+        rbuf, r_res, r_ovf, _ = _bucketize(rk, r_flow, ndev, cap_r, R_PAD,
+                                           res_cap=res_cap)
+        sbuf, s_res, s_ovf, _ = _bucketize(sk, s_flow, ndev, cap_s, S_PAD,
+                                           res_cap=res_cap)
         r_recv = lax.all_to_all(rbuf, axis, split_axis=0,
                                 concat_axis=0).reshape(-1)
         s_recv = lax.all_to_all(sbuf, axis, split_axis=0,
@@ -211,40 +266,71 @@ def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling,
 
     local_matches = _count_sorted(r_recv, s_recv)  # needs no pre-sort
 
+    if res_cap > 0:
+        rep_r = jnp.sum(r_res != R_PAD, dtype=jnp.int64)
+        rep_s = jnp.sum(s_res != S_PAD, dtype=jnp.int64)
+        any_res = lax.psum(rep_r + rep_s, axis) > 0
+        # The repair collectives run only when some bucket actually
+        # overflowed: the predicate comes from a psum, so every device takes
+        # the same branch and the gathers stay globally consistent.
+        axes = axis if isinstance(axis, tuple) else (axis,)
+        local_matches += lax.cond(
+            any_res,
+            lambda _: _residual_matches(r_res, s_res, r_recv, s_recv, axis),
+            # pcast: the zero literal must carry the same varying-axes type
+            # as the true branch under shard_map
+            lambda _: lax.pcast(jnp.zeros((), jnp.int64), axes, to="varying"),
+            operand=None)
+        res_sum_r = jnp.sum(jnp.where(r_res != R_PAD, r_res, 0)
+                            .astype(jnp.int64))
+        drop_r, drop_s = r_ovf - rep_r, s_ovf - rep_s
+    else:
+        rep_r = rep_s = res_sum_r = jnp.zeros((), jnp.int64)
+        drop_r, drop_s = r_ovf, s_ovf
+
     recv_sum = jnp.sum(jnp.where(r_recv != R_PAD, r_recv, 0).astype(jnp.int64))
     return DistResult(
         matches=lax.psum(local_matches, axis) + hot_matches,
         input_sum_r=in_sum_r,
-        output_sum_r=lax.psum(recv_sum, axis) + hot_sum,
-        dropped_r=lax.psum(r_drop, axis),
-        dropped_s=lax.psum(s_drop, axis),
+        output_sum_r=lax.psum(recv_sum + res_sum_r, axis) + hot_sum,
+        dropped_r=lax.psum(drop_r, axis),
+        dropped_s=lax.psum(drop_s, axis),
+        repaired_r=lax.psum(rep_r, axis),
+        repaired_s=lax.psum(rep_s, axis),
         num_hot=lax.pmax(num_hot, axis),
     )
 
 
 def build_dist_join_fn(mesh: Mesh, n_r: int, n_s: int, *,
                        capacity_factor: float = 2.0,
-                       skew_handling: bool = False):
+                       skew_handling: bool = False,
+                       residual_repair: bool = True):
     """Compile-ready distributed join: (sharded rk, sharded sk) → DistResult.
     A 1-D mesh uses the flat all_to_all; a 2-D ("host", "chip") mesh uses
-    the two-stage hierarchical exchange (ICI pass before the DCN pass)."""
+    the two-stage hierarchical exchange (ICI pass before the DCN pass).
+    With ``residual_repair`` (the default) bucket overflow is joined exactly
+    by the cooperative repair round instead of being dropped."""
     ndev = mesh.devices.size
     cap_r = max(8, int(capacity_factor * n_r / (ndev * ndev)) + 8)
     cap_s = max(8, int(capacity_factor * n_s / (ndev * ndev)) + 8)
+    # A device's residual can be its whole shard (every tuple hashing to one
+    # hot destination), so the repair buffer covers the full local shard.
+    res_cap = max(n_r, n_s) // ndev if residual_repair else 0
     if mesh.devices.ndim == 2:
         hosts, chips = mesh.devices.shape
         axis = tuple(mesh.axis_names)
         body = functools.partial(_dist_join_local, ndev=ndev, cap_r=cap_r,
                                  cap_s=cap_s, skew_handling=skew_handling,
-                                 axis=axis, hier=(hosts, chips))
+                                 axis=axis, hier=(hosts, chips),
+                                 res_cap=res_cap)
         spec = P(axis)
     else:
         body = functools.partial(_dist_join_local, ndev=ndev, cap_r=cap_r,
                                  cap_s=cap_s, skew_handling=skew_handling,
-                                 axis=mesh.axis_names[0])
+                                 axis=mesh.axis_names[0], res_cap=res_cap)
         spec = P(mesh.axis_names[0])
     fn = shard_map(body, mesh=mesh, in_specs=(spec, spec),
-                   out_specs=DistResult(P(), P(), P(), P(), P(), P()))
+                   out_specs=DistResult(*([P()] * len(DistResult._fields))))
     return jax.jit(fn)
 
 
@@ -276,7 +362,8 @@ def distributed_join(r: Relation, s: Optional[Relation],
     sk = jax.device_put(sk, NamedSharding(mesh, spec))
     fn = build_dist_join_fn(mesh, rk.shape[0], sk.shape[0],
                             capacity_factor=cfg.shuffle_capacity_factor,
-                            skew_handling=cfg.skew_handling)
+                            skew_handling=cfg.skew_handling,
+                            residual_repair=cfg.residual_repair)
     res = timer.timed("build", fn, rk, sk)
     m = JoinMetrics(algo=f"dist_{cfg.algo.value}", rSize=cfg.r_size,
                     transactionSize=cfg.transaction_size,
@@ -290,6 +377,9 @@ def distributed_join(r: Relation, s: Optional[Relation],
     m.extra["hierarchical"] = mesh.devices.ndim == 2
     m.extra["droppedR"] = int(res.dropped_r)
     m.extra["droppedS"] = int(res.dropped_s)
+    m.extra["repairedR"] = int(res.repaired_r)
+    m.extra["repairedS"] = int(res.repaired_s)
     m.extra["hotKeys"] = int(res.num_hot)
     m.extra["skewHandling"] = cfg.skew_handling
+    m.extra["residualRepair"] = cfg.residual_repair
     return m

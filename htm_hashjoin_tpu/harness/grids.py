@@ -125,6 +125,23 @@ def track(scale: int) -> Iterator[JoinConfig]:
                              enable_probe=False)
 
 
+def skewprobe(scale: int) -> Iterator[JoinConfig]:
+    """TPU-scale skewed-probe grid (BASELINE.json config-5's single-chip
+    analog; no reference script exists — the reference never probes with a
+    skewed S at the top level, only mc's -z flag builds one,
+    mc/src/main.c:393-412).  PK build side probed by a zipf S over a sweep
+    of skew parameters: every point exercises the banded engine's
+    sort-probe-side device sort (S arrives unsorted) and, at high skew, the
+    duplicate-heavy general count + mass-overflow replan."""
+    n = 1 << scale
+    for algo in (Algo.HTM, Algo.ATOMIC, Algo.NOCC):
+        for z in (0.25, 0.5, 0.75, 1.0, 1.25):
+            yield JoinConfig(algo=algo, r_size=n, transaction_size=16,
+                             probe_length=4, data_distr=Distribution.PK,
+                             s_distr=Distribution.ZIPF, zipf_param=z,
+                             retry=True, enable_probe=True)
+
+
 GRIDS: Dict[str, Callable[[int], Iterator[JoinConfig]]] = {
     "AtomicsVsHTMVsNoCC": atomics_vs_htm_vs_nocc,
     "SizeToAbortsAndTimeSorted": size_to_aborts_sorted,
@@ -135,9 +152,12 @@ GRIDS: Dict[str, Callable[[int], Iterator[JoinConfig]]] = {
     "motivation": motivation,
     "probe": probe_grid,
     "track": track,
+    "skewprobe": skewprobe,
 }
 
-# runner.sh's execution order (experiments/runner.sh:3-41)
+# runner.sh's execution order (experiments/runner.sh:3-41), plus the two
+# grids the reference ran separately/not at all (track.sh; skewprobe is ours)
 RUNNER_ORDER = ["motivation", "SizeToAbortsAndTimeSorted",
                 "SizeToAbortsAndTimeShuffled", "TSizeAndShuffleWindowstoTime",
-                "AtomicsVsHTMVsNoCC", "adaptive", "adaptive2", "probe"]
+                "AtomicsVsHTMVsNoCC", "adaptive", "adaptive2", "probe",
+                "track", "skewprobe"]

@@ -12,9 +12,15 @@ from htm_hashjoin_tpu.config import Algo, Distribution
 def test_grid_registry_covers_reference_scripts():
     expected = {"AtomicsVsHTMVsNoCC", "SizeToAbortsAndTimeSorted",
                 "SizeToAbortsAndTimeShuffled", "TSizeAndShuffleWindowstoTime",
-                "adaptive", "adaptive2", "motivation", "probe", "track"}
+                "adaptive", "adaptive2", "motivation", "probe", "track",
+                "skewprobe"}
     assert set(GRIDS) == expected
     assert set(RUNNER_ORDER) <= expected
+    # skewprobe: 3 algos × 5 zipf params, all probing an unsorted zipf S
+    pts = list(GRIDS["skewprobe"](12))
+    assert len(pts) == 15
+    assert all(p.s_distr == Distribution.ZIPF and p.enable_probe
+               for p in pts)
 
 
 def test_grid_shapes_match_reference_sweeps():

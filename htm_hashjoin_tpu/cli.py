@@ -26,7 +26,7 @@ MC_ALGO_ALIASES = {"PRO": "radix", "RJ": "radix", "PRH": "radix",
 
 
 def parse_args(argv=None):
-    """Returns (JoinConfig, (profile_dir, want_throughput))."""
+    """Returns (JoinConfig, (profile_dir, want_throughput, counters))."""
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--algo", default="htm",
                    choices=[a.value for a in Algo] + sorted(MC_ALGO_ALIASES),
@@ -93,6 +93,13 @@ def parse_args(argv=None):
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run (the PCM "
                         "dump analog, SURVEY.md §5)")
+    p.add_argument("--counters", nargs="?", const="default", default=None,
+                   metavar="CFG",
+                   help="per-phase PCM-analog counter dumps in the JSON "
+                        "line (--enable-perfcounters + pcm.cfg analog, "
+                        "mc/src/no_partitioning_join.c:458-527): events "
+                        "from a name=key config file, or the default "
+                        "flops/bytes/intensity/bandwidth set")
     p.add_argument("--throughput", action="store_true",
                    help="also print the ns/tuple report (mc print_timing "
                         "analog, no_partitioning_join.c:313-333)")
@@ -149,14 +156,18 @@ def parse_args(argv=None):
         mesh_shape=tuple(int(x) for x in a.meshShape.split(",") if x),
         backend=a.backend,
     )
-    return cfg, (a.profile, a.throughput)
+    return cfg, (a.profile, a.throughput, a.counters)
 
 
 def main(argv=None) -> int:
     import contextlib
     import json
 
-    cfg, (profile_dir, want_throughput) = parse_args(argv)
+    cfg, (profile_dir, want_throughput, counters) = parse_args(argv)
+    if counters:
+        from .utils.profiler import PerfCounters, enable_counters
+        enable_counters(None if counters == "default"
+                        else PerfCounters.from_config(counters))
     r, s = build_relations(cfg)
     r.fence(), s.fence()   # generation is NOT part of the timed join phases
     ctx = contextlib.nullcontext()

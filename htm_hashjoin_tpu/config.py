@@ -78,6 +78,13 @@ class JoinConfig:
     radix_passes: int = 2                 # NUM_PASSES
     skew_handling: bool = False           # --enable-skewhandling
     partition_capacity_factor: float = 2.0  # padded per-partition capacity multiplier
+    # Partition machinery for the radix algo: 'sort' = one global bitonic
+    # megakernel sort (partitioning subsumed — the measured-fastest plan on
+    # v5e, see ops/pallas/radix_kernels.py); 'multipass' = the real
+    # fanout-bounded multi-pass histogram/prefix/scatter engine
+    # (parallel_radix_join.c:869-956 pass structure — radix_bits and
+    # radix_passes then change execution, not just labels); 'auto' = sort.
+    radix_strategy: str = "auto"
 
     # Zipf knobs (mc/src/main.c -z flag; genzipf.c)
     zipf_param: float = 0.75

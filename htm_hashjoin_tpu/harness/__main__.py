@@ -23,7 +23,15 @@ def main(argv=None) -> int:
                         "runs per point, fence once (lifts the ~25 ms "
                         "host-tunnel fence out of per-point times; the "
                         "single-run time is reported alongside)")
+    p.add_argument("--counters", nargs="?", const="default", default=None,
+                   metavar="CFG",
+                   help="per-phase PCM-analog counter dumps in every grid "
+                        "JSON line (pcm.cfg analog; see cli --counters)")
     a = p.parse_args(argv)
+    if a.counters:
+        from ..utils.profiler import PerfCounters, enable_counters
+        enable_counters(None if a.counters == "default"
+                        else PerfCounters.from_config(a.counters))
     if a.grid == "all":
         run_all(scale=a.scale, reps=a.reps,
                 out_dir=a.outDir or "experiments/logs",

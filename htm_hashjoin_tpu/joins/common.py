@@ -98,6 +98,11 @@ class SpillState:
 def finish_metrics(m: JoinMetrics, timer: PhaseTimer,
                    total_matches: Optional[int],
                    retry: bool = False) -> JoinMetrics:
+    if timer.counters:
+        # per-phase PCM-analog dumps in the JSON line (the reference wraps
+        # build and probe in PCM start/stop+dump, no_partitioning_join.c:
+        # 458-527; events programmed from the pcm.cfg-shaped --counters file)
+        m.extra["counters"] = timer.counters
     m.hashBuildTimeInMicroseconds = (
         timer.micros.get("build", 0.0) + timer.micros.get("spill", 0.0))
     if "probe" in timer.micros or "probe_spill" in timer.micros:
@@ -228,6 +233,17 @@ def pallas_unique_join(algo: str, r: Relation, s: Optional[Relation],
         m.totalMatches = out.matches
     m.extra["backend"] = "pallas_banded"
     m.extra["resorted"] = out.resorted
+    from ..utils.profiler import active_counters, traffic_counters
+    if active_counters() is not None:
+        # megakernel phase traffic is exact by construction: the sort
+        # streams R through VMEM once (read+write), the count re-reads
+        # sorted R plus the S bands (≈ one S pass for narrow plans)
+        rb = 4.0 * cfg.r_size
+        byts = 2 * rb + ((rb + 4.0 * (cfg.s_size or 0)) if probing else 0)
+        c = traffic_counters(byts, elapsed_us)
+        if c:
+            m.extra["counters"] = {
+                ("build+probe" if probing else "build"): c}
     maybe_pipeline_timing(m, cfg, plan, r, s if probing else None, out,
                           interpret)
     return m

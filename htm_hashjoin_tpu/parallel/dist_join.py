@@ -20,12 +20,15 @@ normal all_to_all path.
 
 All buffers are statically shaped (padded buckets with validity sentinels):
 R-side padding is INT32_MAX, S-side padding is 0 — neither can match a real
-key (generators emit 1..2^31-2).  Bucket overflow is REPAIRED, not dropped:
-tuples that miss their destination bucket are compacted into a residual
-buffer and joined exactly by a cooperative repair round (_residual_matches)
-— the analog of the reference's re-partitioning of oversized partitions
-(mc/src/parallel_radix_join.c:958-1055).  Only residual-buffer overflow
-(pathological) is reported as dropped.
+key (generators emit 1..2^31-2).  With JoinConfig.residual_repair (the
+default), bucket overflow is REPAIRED, not dropped: tuples that miss their
+destination bucket are compacted into a residual buffer and joined exactly
+by a cooperative repair round (_residual_matches) — the analog of the
+reference's re-partitioning of oversized partitions
+(mc/src/parallel_radix_join.c:958-1055); only residual-buffer overflow
+(pathological) is reported as dropped.  residual_repair=False restores the
+reference-style report-drops behavior (and saves the repair buffers'
+memory — see build_dist_join_fn).
 """
 
 from __future__ import annotations
@@ -313,9 +316,23 @@ def build_dist_join_fn(mesh: Mesh, n_r: int, n_s: int, *,
     ndev = mesh.devices.size
     cap_r = max(8, int(capacity_factor * n_r / (ndev * ndev)) + 8)
     cap_s = max(8, int(capacity_factor * n_s / (ndev * ndev)) + 8)
-    # A device's residual can be its whole shard (every tuple hashing to one
-    # hot destination), so the repair buffer covers the full local shard.
-    res_cap = max(n_r, n_s) // ndev if residual_repair else 0
+    # Repair-buffer sizing.  Flat mesh: a device's residual is bounded by
+    # its active shard (every tuple hashing to one hot destination).
+    # Hierarchical mesh: stage 2's input is the stage-1 RECEIVE buffer —
+    # up to ndev·cap ≈ capacity_factor × shard tuples — so the bound
+    # carries the capacity factor or extreme skew could overflow res_cap
+    # (overflow is reported as dropped, never silent).  Memory note: the
+    # repair round all_gathers ndev·res_cap per side to every device
+    # (≈ capacity_factor × the full relation), and both lax.cond branches
+    # are compiled, so this footprint is reserved even when repair never
+    # fires; residual_repair=False trades exactness for that memory.
+    shard = max(n_r, n_s) // ndev
+    if not residual_repair:
+        res_cap = 0
+    elif mesh.devices.ndim == 2:
+        res_cap = int(capacity_factor * shard) + 8
+    else:
+        res_cap = shard
     if mesh.devices.ndim == 2:
         hosts, chips = mesh.devices.shape
         axis = tuple(mesh.axis_names)

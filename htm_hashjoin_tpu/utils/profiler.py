@@ -130,6 +130,82 @@ class PerfCounters:
 
 
 # ---------------------------------------------------------------------------
+# Per-phase counter session (the PCM start/stop-around-each-phase hooks,
+# mc/src/no_partitioning_join.c:458-527: PCM_start before build_hashtable_mt,
+# PCM_stop + dump after, again around the probe).  Enabled globally by the
+# CLI/harness --counters flag; PhaseTimer.timed records into it whenever a
+# phase's fn is a lowerable jit (cost-analysis events), and the Pallas
+# megakernel paths record their planned DMA traffic (the streaming kernels'
+# byte counts are exact by construction — the TPU analog of pcm.cfg's
+# memory events).
+# ---------------------------------------------------------------------------
+
+_ACTIVE: Optional["PerfCounters"] = None
+_CA_CACHE: Dict[Any, Dict[str, float]] = {}
+
+
+def enable_counters(pc: Optional["PerfCounters"] = None) -> None:
+    global _ACTIVE
+    _ACTIVE = pc or PerfCounters()
+
+
+def disable_counters() -> None:
+    global _ACTIVE
+    _ACTIVE = None
+
+
+def active_counters() -> Optional["PerfCounters"]:
+    return _ACTIVE
+
+
+def phase_counters_from_fn(fn: Callable, args, kwargs,
+                           micros: float) -> Optional[Dict[str, float]]:
+    """Cost-analysis counters for a jitted phase fn (cached per (fn, arg
+    shapes) — lowering is not free).  Returns None when fn is not
+    lowerable or the backend reports no cost model."""
+    pc = _ACTIVE
+    if pc is None or not hasattr(fn, "lower"):
+        return None
+    try:
+        key = (id(fn), tuple((a.shape, str(a.dtype)) for a in args
+                             if hasattr(a, "shape")))
+        if key not in _CA_CACHE:
+            _CA_CACHE[key] = cost_analysis(fn, *args, **kwargs)
+        ca = _CA_CACHE[key]
+    except Exception:
+        return None
+    if not ca:
+        return None
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+    derived = {
+        "arithmetic_intensity": flops / byts if byts else 0.0,
+        "hbm_gbps": (byts / (micros * 1e-6) / 1e9) if (micros and byts)
+                    else 0.0,
+    }
+    return {name: derived.get(key_, float(ca.get(key_, 0.0)))
+            for name, key_ in pc.events.items()}
+
+
+def traffic_counters(bytes_moved: float, micros: float,
+                     flops: float = 0.0) -> Optional[Dict[str, float]]:
+    """Counters for a Pallas megakernel phase from its planned DMA traffic
+    (streamed bytes are exact: the kernels move whole tiles)."""
+    pc = _ACTIVE
+    if pc is None:
+        return None
+    derived = {
+        "flops": flops,
+        "bytes accessed": bytes_moved,
+        "arithmetic_intensity": flops / bytes_moved if bytes_moved else 0.0,
+        "hbm_gbps": (bytes_moved / (micros * 1e-6) / 1e9)
+                    if (micros and bytes_moved) else 0.0,
+    }
+    return {name: float(derived.get(key_, 0.0))
+            for name, key_ in pc.events.items()}
+
+
+# ---------------------------------------------------------------------------
 # Tier 4: syncstats — barrier wait breakdown
 # ---------------------------------------------------------------------------
 

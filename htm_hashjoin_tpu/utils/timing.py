@@ -32,10 +32,15 @@ def fence_outputs(out):
 
 class PhaseTimer:
     """Collects per-phase wall times in microseconds (the reference's
-    reporting unit)."""
+    reporting unit).  When the global counter session is enabled
+    (profiler.enable_counters — the --counters flag), each jitted phase
+    also records its PCM-analog counter events, mirroring the reference's
+    PCM start/stop hooks around build and probe
+    (mc/src/no_partitioning_join.c:458-527)."""
 
     def __init__(self) -> None:
         self.micros: Dict[str, float] = {}
+        self.counters: Dict[str, Dict[str, float]] = {}
 
     @contextmanager
     def phase(self, name: str, *results):
@@ -47,12 +52,23 @@ class PhaseTimer:
                 time.perf_counter() - start) * 1e6
 
     def timed(self, name: str, fn, *args, **kwargs):
-        """Run fn, fence all jax outputs, record elapsed µs."""
+        """Run fn, fence all jax outputs, record elapsed µs (+counters)."""
         start = time.perf_counter()
         out = fence_outputs(fn(*args, **kwargs))
-        self.micros[name] = self.micros.get(name, 0.0) + (
-            time.perf_counter() - start) * 1e6
+        micros = (time.perf_counter() - start) * 1e6
+        self.micros[name] = self.micros.get(name, 0.0) + micros
+        from .profiler import active_counters, phase_counters_from_fn
+        if active_counters() is not None:
+            c = phase_counters_from_fn(fn, args, kwargs, micros)
+            if c:
+                self.counters[name] = c
         return out
+
+    def record_counters(self, name: str, counters) -> None:
+        """Explicit per-phase counters (the Pallas megakernel paths record
+        their planned DMA traffic here)."""
+        if counters:
+            self.counters[name] = counters
 
     def total(self) -> float:
         return sum(self.micros.values())

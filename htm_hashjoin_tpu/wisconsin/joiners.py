@@ -150,6 +150,10 @@ class JoinStats:
     max_bucket_occupancy: int = 0
     partition_probe_costs: Optional[np.ndarray] = None
     stolen_balance: Optional[np.ndarray] = None  # ProbeSteal static plan
+    probe_schedule: Optional[dict] = None  # MEASURED per-unit schedule:
+    # {policy, units: [(start_row, rows, micros)], worker_micros: [...],
+    #  imbalance} — the execution difference between ProbeIsPart and
+    #  ProbeSteal (probe.inl:18-52), see HashJoiner._scheduled_probe
 
 
 class BaseJoiner:
@@ -234,8 +238,9 @@ class HashJoiner(BaseJoiner):
     def __init__(self, hashfn: HashFunction, *, storage: str = "copy",
                  partition_build: bool = False, partition_probe: bool = False,
                  steal: bool = False, output_page_size: int = 1 << 20,
-                 build_page_size: int = 32):
+                 build_page_size: int = 32, nthreads: int = 1):
         super().__init__(hashfn, output_page_size)
+        self.nthreads = max(1, int(nthreads))
         if steal and partition_build:
             raise ValueError("steal requires partitionbuild == no "
                              "(joinerfactory.cpp:39-41 asserts)")
@@ -266,6 +271,7 @@ class HashJoiner(BaseJoiner):
         self._build_perm = order               # StorePointer: the "pointers"
         self._build_table = table
         occ = jnp.bincount(buckets, length=self.hashfn.buckets)
+        self._bucket_occ = occ        # ProbeSteal's cost model (see probe)
         self.stats.build_rows = table.num_rows
         self.stats.bucket_count = self.hashfn.buckets
         self.stats.max_bucket_occupancy = int(jnp.max(occ)) if table.num_rows else 0
@@ -282,32 +288,102 @@ class HashJoiner(BaseJoiner):
 
     # -- probe ---------------------------------------------------------------
 
+    def _schedule_bounds(self, parts: PartitionedTable, probe_keys,
+                         n: int) -> "tuple[np.ndarray, str]":
+        """Row-range decomposition of the probe under the policy.
+
+        ProbeIsPart (probe.inl:18-36): one unit per partition, owner order.
+        ProbeSteal (probe.inl:37-52): nthreads equal-COST contiguous
+        chunks, cut by the bucket-occupancy cost model — the static
+        schedule the reference's dynamic stealing converges to (each
+        worker ends up with ≈ total/nthreads work)."""
+        if self.steal:
+            occ = np.asarray(self._bucket_occ).astype(np.int64)
+            cost = occ[np.asarray(self.hashfn.hash(probe_keys))] + 1
+            prefix = np.cumsum(cost)
+            k = self.nthreads
+            targets = np.arange(1, k) * (prefix[-1] / k)
+            cuts = np.searchsorted(prefix, targets)
+            bounds = np.unique(np.concatenate([[0], cuts, [n]]))
+            cprefix = np.concatenate([[0], prefix])
+            self.stats.stolen_balance = np.diff(cprefix[bounds])
+            return bounds, "probe_steal"
+        bounds = np.concatenate([np.asarray(parts.offsets, np.int64), [n]])
+        return np.unique(bounds), "probe_is_part"
+
+    def _scheduled_probe(self, parts: PartitionedTable, probe_keys,
+                         n: int):
+        """REAL per-unit probe execution (not a simulation): each schedule
+        unit runs as its own device program with a fenced timing readback,
+        so the stats carry MEASURED unit times.  ProbeIsPart and ProbeSteal
+        produce different decompositions (different measured schedules) and
+        identical results.  Units are padded to one shared static shape so
+        a single compiled program serves the whole schedule (the per-unit
+        fence is the TPU analog of the reference's per-task overhead)."""
+        import time
+
+        from ..utils.profiler import sync_stats
+
+        bounds, policy = self._schedule_bounds(parts, probe_keys, n)
+        units = [(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])
+                 if b > a]
+        pad_len = max(8, next_pow2(max(b - a for a, b in units)))
+        pad = jnp.full((pad_len,), -1, probe_keys.dtype)   # matches nothing
+        los, his, times = [], [], []
+        total = 0
+        for a, b in units:
+            seg = jax.lax.dynamic_update_slice(pad, probe_keys[a:b], (0,))
+            t0 = time.perf_counter()
+            lo_u, hi_u, t_u = _match_bounds(self._build_keys_sorted, seg)
+            total += int(t_u)               # readback = the unit's fence
+            times.append((time.perf_counter() - t0) * 1e6)
+            los.append(lo_u[:b - a])
+            his.append(hi_u[:b - a])
+        lo = jnp.concatenate(los) if len(los) > 1 else los[0]
+        hi = jnp.concatenate(his) if len(his) > 1 else his[0]
+        # owner-order round-robin for partition units (partition p → worker
+        # p % nthreads, the static SPMD assignment, SURVEY.md §2.4 P8);
+        # steal chunks map one-to-one onto workers
+        k = self.nthreads
+        worker_us = [0.0] * k
+        for i, us in enumerate(times):
+            worker_us[i % k] += us
+        ss = sync_stats(worker_us)
+        self.stats.probe_schedule = {
+            "policy": policy,
+            "units": [(a, b - a, us)
+                      for (a, b), us in zip(units, times)],
+            "worker_micros": worker_us,
+            "imbalance": ss["imbalance"],
+        }
+        return lo, hi, total
+
     def probe(self, parts: PartitionedTable) -> Table:
-        """ProbeIsPart walks this worker's partitions; ProbeSteal then
-        steals others' (probe.inl:18-52).  SPMD processes all partitions in
-        one program; the policy is honored through the cost plan recorded in
-        stats (the balanced chunking `steal` achieves dynamically)."""
+        """ProbeIsPart walks this worker's partitions; ProbeSteal
+        cost-balances chunks across workers (probe.inl:18-52).  Both
+        policies EXECUTE per schedule unit with measured per-unit timings
+        (_scheduled_probe); ProbeIsNotPart runs the whole probe as one
+        fused program."""
         table = parts.table
         probe_keys = jnp.asarray(table.key_column(self.ja2))
-        lo, hi, total = _match_bounds(self._build_keys_sorted, probe_keys)
-        total = int(total)
+        n = int(probe_keys.shape[0])
         self.stats.probe_rows = table.num_rows
 
-        if self.partition_probe or self.steal:
-            # per-partition probe cost: Σ (matches + 1) over the partition's
-            # probe rows — the work a thread owning that partition would do
-            # (computed on device; only the per-partition totals come home)
+        if (self.partition_probe or self.steal) and n:
+            lo, hi, total = self._scheduled_probe(parts, probe_keys, n)
+            # predicted per-partition costs stay observable alongside the
+            # measured schedule (the old stats surface)
             counts = (hi - lo).astype(jnp.int64) + 1
             cum = jnp.concatenate([jnp.zeros((1,), jnp.int64),
                                    jnp.cumsum(counts)])
             starts = jnp.asarray(np.asarray(parts.offsets, np.int64))
             ends = starts + jnp.asarray(np.asarray(parts.sizes, np.int64))
-            costs = np.asarray(cum[ends] - cum[starts])
-            self.stats.partition_probe_costs = costs
-            if self.steal:
-                # static steal plan: equal-cost contiguous chunks
-                target = max(1, int(costs.sum()) // max(1, parts.nparts))
-                self.stats.stolen_balance = np.minimum(costs, target)
+            self.stats.partition_probe_costs = np.asarray(cum[ends] -
+                                                          cum[starts])
+        else:
+            lo, hi, total = _match_bounds(self._build_keys_sorted,
+                                          probe_keys)
+            total = int(total)
 
         if self.storage == "copy":
             payload_cols = self._build_payload
@@ -452,4 +528,5 @@ def joiner_factory(conf: dict, hashfn: HashFunction,
         partition_probe=yes("partitionprobe"),
         steal=yes("steal"),
         build_page_size=algo.get("buildpagesize", 32),
+        nthreads=int(conf.get("threads", 1)),
     )

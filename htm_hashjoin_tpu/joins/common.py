@@ -310,7 +310,55 @@ class BandedPlan(NamedTuple):
     narrow: Optional[bool]   # narrow-kernel override (None = engine default)
 
 
-def pallas_plan(cfg: JoinConfig, probing: bool = True) -> BandedPlan:
+def adaptive_window_estimate(rkeys: jax.Array, cfg: JoinConfig,
+                             timer=None) -> dict:
+    """HTM_ADAPT's observation step with a REAL dial (HTMHashBuild.hpp:
+    196-211): sample sniff_rounds strided chunks of sniff_chunk tuples
+    (the reference's K×16384 shape, :47-52), measure their displacement
+    profile on device, and return the statistics that pick the banded
+    engine's sorter.  The measured max displacement IS the tSize analog:
+    it selects odd-even passes / shifted-block passes / bitonic — an
+    execution choice, not a host-side stats replay."""
+    import time
+
+    import numpy as np
+
+    n = int(rkeys.shape[0])
+    chunk = min(cfg.sniff_chunk, max(8, n // max(1, cfg.sniff_rounds)))
+    k = max(1, min(cfg.sniff_rounds, n // chunk))
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def _profile(keys, chunk, k):
+        stride = keys.shape[0] // k
+        starts = jnp.arange(k) * stride
+        segs = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(keys, (s,), (chunk,)))(starts)
+
+        def chunk_stats(seg):
+            order = jnp.argsort(seg, stable=True)
+            inv = jnp.zeros((chunk,), jnp.int32).at[order].set(
+                jnp.arange(chunk, dtype=jnp.int32))
+            disp = jnp.abs(inv - jnp.arange(chunk, dtype=jnp.int32))
+            sseg = seg[order]
+            dups = jnp.sum(sseg[1:] == sseg[:-1])
+            return jnp.max(disp), dups
+        mx, dups = jax.vmap(chunk_stats)(segs)
+        return jnp.max(mx), jnp.sum(dups)
+
+    t0 = time.perf_counter()
+    mx, dups = _profile(rkeys, chunk, k)
+    mx, dups = int(mx), int(dups)          # the one sniff fence
+    sniff_us = (time.perf_counter() - t0) * 1e6
+    if timer is not None:
+        timer.micros["sniff"] = timer.micros.get("sniff", 0.0) + sniff_us
+    return {"maxDisplacement": mx, "sampleDuplicates": dups,
+            "sniffTimeUs": sniff_us, "sampleChunks": k,
+            "sampleChunkSize": chunk,
+            "dupFraction": dups / max(1, k * chunk)}
+
+
+def pallas_plan(cfg: JoinConfig, probing: bool = True,
+                window_override: Optional[int] = None) -> BandedPlan:
     """Plan selection for the banded engine, by locality regime:
 
     * certified sorted input  → no sort at all (presorted);
@@ -331,13 +379,26 @@ def pallas_plan(cfg: JoinConfig, probing: bool = True) -> BandedPlan:
       directory are exactly that (the wide-band plan's own build half),
       so the global sort is skipped — a tile-local bitonic at ~1/3 the
       cost.  This is the analog of the reference's build-only binaries
-      not paying the probe's cache layout either."""
-    if cfg.data_distr == Distribution.SORTED:
-        return BandedPlan(1, False, True, None)
-    if cfg.data_distr in (Distribution.LOCAL_SHUFFLE, Distribution.PK_LSHUFFLE):
-        if cfg.shuffle_range <= 512:
-            return BandedPlan(max(1, cfg.shuffle_range), False, False, None)
-        if cfg.shuffle_range <= 65536:
+      not paying the probe's cache layout either.
+
+    ``window_override`` (the HTM_ADAPT dial, adaptive_window_estimate):
+    a MEASURED displacement bound replaces the generator-declared window
+    in the regime selection — 0 means certified sorted."""
+    w = window_override
+    if w is None:
+        if cfg.data_distr == Distribution.SORTED:
+            return BandedPlan(1, False, True, None)
+        if cfg.data_distr in (Distribution.LOCAL_SHUFFLE,
+                              Distribution.PK_LSHUFFLE):
+            w = cfg.shuffle_range
+    elif w == 0:
+        # a SAMPLE statistic cannot certify global sortedness — run the
+        # 1-pass optimistic sorter, whose violation count still guards it
+        w = 1
+    if w is not None:
+        if w <= 512:
+            return BandedPlan(max(1, w), False, False, None)
+        if w <= 65536:
             return BandedPlan(None, False, False, False)
     if not probing:
         return BandedPlan(None, False, False, False)

@@ -32,11 +32,29 @@ from ..relation import Relation
 from ..ops import insert, probe
 from ..utils.metrics import JoinMetrics
 from ..utils.timing import PhaseTimer
-from .common import (SpillState, finish_metrics, htm_num_buckets,
-                     keys_are_unique, keys_unique_both,
+from .common import (SpillState, adaptive_window_estimate, finish_metrics,
+                     htm_num_buckets, keys_are_unique, keys_unique_both,
                      maybe_pipeline_timing, pallas_metrics, pallas_plan,
                      resolve_relations, use_pallas_engine,
                      use_pallas_engine_build)
+
+
+def _adaptive_pallas_plan(r: Relation, cfg: JoinConfig, probing: bool):
+    """HTM_ADAPT with a real dial on the banded engine: the measured
+    sample displacement replaces the config-declared window in sorter
+    selection (HTMHashBuild.hpp:204-211 re-expressed — the observed
+    failure statistic changes WHICH program runs, not just the stats).
+    Returns (plan, sniff_stats)."""
+    est = adaptive_window_estimate(r.keys, cfg)
+    mx, chunk = est["maxDisplacement"], est["sampleChunkSize"]
+    # in-chunk displacement saturating toward the chunk size means the
+    # disorder extends beyond the sample's reach — escalate to the
+    # sort-first plan instead of trusting an underestimate (the tSize-
+    # halving branch of HTMHashBuild.hpp:208-210)
+    window = (1 << 30) if mx >= chunk // 2 else mx
+    est["windowEstimate"] = None if window >= (1 << 30) else window
+    plan = pallas_plan(cfg, probing=probing, window_override=window)
+    return plan, est
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -154,7 +172,11 @@ def _htm_build_pallas(cfg: JoinConfig, r: Relation) -> JoinMetrics:
 
     from .pallas_backend import banded_build_pipelined
 
-    plan = pallas_plan(cfg, probing=False)
+    sniff = None
+    if cfg.adaptive:
+        plan, sniff = _adaptive_pallas_plan(r, cfg, probing=False)
+    else:
+        plan = pallas_plan(cfg, probing=False)
     interpret = jax.default_backend() == "cpu"
     t0 = time.perf_counter()
     res = banded_build_pipelined(r.keys, locality_window=plan.window,
@@ -187,6 +209,10 @@ def _htm_build_pallas(cfg: JoinConfig, r: Relation) -> JoinMetrics:
     else:
         out = res
         m = pallas_metrics(cfg, "htm", out, elapsed_us, None)
+    if sniff is not None:
+        m.extra["adaptivePlan"] = {
+            "window": plan.window, "presort": plan.presort, **sniff}
+        m.extra["adaptiveTransactionSizeFinal"] = max(1, plan.window or 4096)
     maybe_pipeline_timing(m, cfg, plan, r, None, out, interpret)
     return m
 
@@ -200,7 +226,11 @@ def _htm_join_pallas(r: Relation, s: Relation, cfg: JoinConfig) -> JoinMetrics:
 
     from .pallas_backend import banded_join_pipelined
 
-    plan = pallas_plan(cfg)
+    sniff = None
+    if cfg.adaptive:
+        plan, sniff = _adaptive_pallas_plan(r, cfg, probing=True)
+    else:
+        plan = pallas_plan(cfg)
     interpret = jax.default_backend() == "cpu"
     t0 = time.perf_counter()
     # permutation distributions certify both sides unique (S is generated
@@ -213,6 +243,10 @@ def _htm_join_pallas(r: Relation, s: Relation, cfg: JoinConfig) -> JoinMetrics:
                                 interpret=interpret)
     elapsed_us = (time.perf_counter() - t0) * 1e6
     m = pallas_metrics(cfg, "htm", out, elapsed_us, out.matches)
+    if sniff is not None:
+        m.extra["adaptivePlan"] = {
+            "window": plan.window, "presort": plan.presort, **sniff}
+        m.extra["adaptiveTransactionSizeFinal"] = max(1, plan.window or 4096)
     if cfg.track:
         # join-path cause split (TM_TRACK analog): displacement violations
         # of the optimistic sorter vs band overflow of the probe kernel —

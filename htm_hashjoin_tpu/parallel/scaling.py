@@ -181,18 +181,31 @@ def scaling_sweep(out_path: str, *, per_dev_log2: int = 17,
                 lines.append(pt)
                 if echo:
                     print(json.dumps(pt), flush=True)
-    # efficiency vs the 1-device flat baseline of the same (mode, data)
+    # efficiency vs the 1-device flat baseline of the same (mode, data).
+    # Two normalizations: `efficiency` assumes every device is real
+    # hardware (the number that matters on an actual slice); on a VIRTUAL
+    # mesh all N devices share one host's cores, so `efficiencyShared`
+    # normalizes against perfectly serialized single-host execution of the
+    # same total work — the sharding-overhead metric the virtual mesh can
+    # honestly measure.
+    shared = len(jax.devices()) > 1 and jax.default_backend() == "cpu"
     base = {(p["mode"], p["data"]): p for p in lines if p["ndev"] == 1}
     for p in lines:
         b = base.get((p["mode"], p["data"]))
         if not b or p["ndev"] == 1:
-            p["efficiency"] = 1.0
+            p["efficiency"] = p["efficiencyShared"] = 1.0
             continue
-        if p["mode"] == "weak":       # ideal: constant time
+        if p["mode"] == "weak":       # real ideal: constant time
             p["efficiency"] = b["totalTimeUs"] / p["totalTimeUs"]
-        else:                         # ideal: time / ndev
+            # shared-core ideal: N x the 1-dev time (N x the work)
+            p["efficiencyShared"] = (p["ndev"] * b["totalTimeUs"] /
+                                     p["totalTimeUs"])
+        else:                         # real ideal: time / ndev
             p["efficiency"] = b["totalTimeUs"] / (p["ndev"] *
                                                   p["totalTimeUs"])
+            # shared-core ideal: same work, same cores -> the 1-dev time
+            p["efficiencyShared"] = b["totalTimeUs"] / p["totalTimeUs"]
+    del shared
     with open(out_path, "w") as f:
         for p in lines:
             f.write(json.dumps(p) + "\n")
@@ -214,23 +227,38 @@ def main(argv=None) -> int:
     lines = scaling_sweep(out, per_dev_log2=a.perDevLog2,
                           strong_log2=a.strongLog2, reps=a.reps)
     # summary table
+    virt = jax.default_backend() == "cpu" and len(jax.devices()) > 1
     md = [
         "# Scaling efficiency (virtual mesh)", "",
         f"Backend: {jax.default_backend()}, {len(jax.devices())} devices.",
         "Weak: n/device constant (ideal = flat time).  Strong: total n "
         "constant (ideal = 1/ndev time).  Phase split: exchange "
         "(bucketize+all_to_all) / local join / repair.", "",
+    ]
+    if virt:
+        md += [
+            "**Virtual-mesh caveat**: all devices here are one host's CPU "
+            "cores, so wall-clock `eff(hw)` conflates scaling with core "
+            "oversubscription and is a LOWER BOUND on real-slice "
+            "efficiency.  `eff(shared)` normalizes against perfectly "
+            "serialized single-host execution of the same total work — "
+            "values near/above 100% mean the sharded program adds no "
+            "overhead beyond the work itself (the claim the virtual mesh "
+            "can actually test; real-slice numbers require real chips).",
+            "",
+        ]
+    md += [
         "| mode | mesh | data | exchange ms | join ms | repair ms | "
-        "total ms | matches exact | efficiency |",
-        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
+        "total ms | matches exact | eff(hw) | eff(shared) |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
     ]
     for p_ in lines:
         md.append("| {} | {} | {} | {:.1f} | {:.1f} | {:.1f} | {:.1f} | "
-                  "{} | {:.0%} |".format(
+                  "{} | {:.0%} | {:.0%} |".format(
                       p_["mode"], "x".join(map(str, p_["mesh"])), p_["data"],
                       p_["exchangeTimeUs"] / 1e3, p_["joinTimeUs"] / 1e3,
                       p_["repairTimeUs"] / 1e3, p_["totalTimeUs"] / 1e3,
-                      p_["exact"], p_["efficiency"]))
+                      p_["exact"], p_["efficiency"], p_["efficiencyShared"]))
     with open(os.path.join(a.outDir, "SCALING.md"), "w") as f:
         f.write("\n".join(md) + "\n")
     print("\n".join(md))

@@ -166,13 +166,18 @@ def scatter_plan(bounds: jax.Array, parent_of_tile: jax.Array, *,
 # ---------------------------------------------------------------------------
 
 
-def _scatter_megakernel(a_smem, delta_smem, dest_smem, nch_smem, r_hbm,
-                        prefill_hbm, out_hbm, buf, obuf, sem_in, sem_out, *,
+def _scatter_megakernel(tbl_hbm, r_hbm, prefill_hbm, out_hbm, buf, obuf,
+                        tbl_smem, sem_in, sem_out, sem_tbl, *,
                         n_tiles: int, rows_per_tile: int, fanout: int,
                         stage_rows: int):
     """Streaming scatter: for each sorted tile, expand digit runs to
     CH-quantized staging rows (log-shift network over δ's bits) and DMA
     each run's chunks to its destination rows.
+
+    The (T, 4F) plan table [a | δ | dest | nch] stays in HBM (it is far
+    too big for SMEM at production scale) and is streamed one row per
+    tile into a 3-slot SMEM ring: iteration t reads rows t-1 (the wait
+    phase), t (blend + issue) and prefetches t+1.
 
     Ordering: tile t's out-DMAs are waited before tile t+1 issues any —
     consecutive tiles' runs in one region share an overhang row and the
@@ -180,6 +185,8 @@ def _scatter_megakernel(a_smem, delta_smem, dest_smem, nch_smem, r_hbm,
     expansion compute for tile t overlaps tile t-1's write completions."""
     del prefill_hbm  # aliased to out_hbm (prefilled MAXI32 by the caller)
     two = jnp.int32(2)
+    three = jnp.int32(3)
+    f_ = fanout
     max_delta_bits = max(1, (stage_rows * LANES - 1).bit_length())
     shape = (rows_per_tile, LANES)
 
@@ -188,46 +195,58 @@ def _scatter_megakernel(a_smem, delta_smem, dest_smem, nch_smem, r_hbm,
             r_hbm.at[pl.ds(t * rows_per_tile, rows_per_tile), :],
             buf.at[slot], sem_in.at[slot])
 
+    def tbl_dma(slot, t):
+        return pltpu.make_async_copy(
+            tbl_hbm.at[pl.ds(t, 1), :], tbl_smem.at[pl.ds(slot, 1), :],
+            sem_tbl.at[slot])
+
     def run_chunk_dma(t, f, k):
         """Chunk k of run f of tile t: staging rows [qf + k*CH, +CH) ->
         out rows [dest + k*CH, +CH).  Staging is double-buffered by tile
-        parity: tile t's writes are waited at t+1, so slot t%2 is free for
-        re-fill at t+2."""
-        q_row = (a_smem[t, f] + delta_smem[t, f]) // LANES  # = CH-aligned q
+        parity: tile t's writes are waited at t+1, so slot t%2 is free
+        for re-fill at t+2."""
+        s3 = jax.lax.rem(t, three)
+        q_row = (tbl_smem[s3, f] + tbl_smem[s3, f_ + f]) // LANES
         return pltpu.make_async_copy(
             obuf.at[jax.lax.rem(t, two), pl.ds(q_row + k * CH, CH), :],
-            out_hbm.at[pl.ds(dest_smem[t, f] + k * CH, CH), :],
+            out_hbm.at[pl.ds(tbl_smem[s3, 2 * f_ + f] + k * CH, CH), :],
             sem_out)
 
     def for_each_chunk(t, op):
+        s3 = jax.lax.rem(t, three)
+
         def digit_body(f, c):
             def chunk_body(k, cc):
                 op(t, f, k)
                 return cc
-            return jax.lax.fori_loop(jnp.int32(0), nch_smem[t, f],
+            return jax.lax.fori_loop(jnp.int32(0), tbl_smem[s3, 3 * f_ + f],
                                      chunk_body, c)
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(fanout), digit_body,
                           jnp.int32(0))
 
     in_dma(jnp.int32(0), jnp.int32(0)).start()
+    tbl_dma(jnp.int32(0), jnp.int32(0)).start()
 
     def body(t, carry):
         slot = jax.lax.rem(t, two)
+        s3 = jax.lax.rem(t, three)
 
         @pl.when(t + 1 < n_tiles)
         def _():
             in_dma(jax.lax.rem(t + 1, two), t + 1).start()
+            tbl_dma(jax.lax.rem(t + 1, three), t + 1).start()
 
+        tbl_dma(s3, t).wait()
         in_dma(slot, t).wait()
         v = buf[slot]
 
         # per-element staging shift: δ of the element's run, looked up by
-        # digit via run boundaries (a_smem) — the tile is digit-monotone,
-        # so "element i belongs to run f" ⇔ a[f] <= i < a[f+1]
+        # digit via run boundaries (table a-section) — the tile is
+        # digit-monotone, so "element i in run f" ⇔ a[f] <= i < a[f+1]
         idx = linops.linear_iota(shape)
 
         def blend(f, d):
-            return jnp.where(idx >= a_smem[t, f], delta_smem[t, f], d)
+            return jnp.where(idx >= tbl_smem[s3, f], tbl_smem[s3, f_ + f], d)
         dlt = jax.lax.fori_loop(jnp.int32(0), jnp.int32(fanout), blend,
                                 jnp.zeros(shape, jnp.int32))
 
@@ -280,15 +299,14 @@ def _scatter_tiles_jit(sorted2d, a_elem, delta, dest_row, n_chunks, *,
     # staging span: data rows + worst-case CH quantization per run
     stage_rows = rows_per_tile + fanout * CH
     prefill = jnp.full((out_rows, LANES), MAXI32, jnp.int32)
+    # combined plan table, one row per tile: [a | delta | dest | nch]
+    tbl = jnp.concatenate([a_elem, delta, dest_row, n_chunks], axis=1)
     kernel = functools.partial(_scatter_megakernel, n_tiles=n_tiles,
                                rows_per_tile=rows_per_tile, fanout=fanout,
                                stage_rows=stage_rows)
     return pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -296,13 +314,15 @@ def _scatter_tiles_jit(sorted2d, a_elem, delta, dest_row, n_chunks, *,
         scratch_shapes=[
             pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
             pltpu.VMEM((2, stage_rows, LANES), jnp.int32),
+            pltpu.SMEM((3, 4 * fanout), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
-        input_output_aliases={5: 0},
+        input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(a_elem, delta, dest_row, n_chunks, sorted2d, prefill)
+    )(tbl, sorted2d, prefill)
 
 
 def scatter_tiles(sorted2d, plan: ScatterPlan, *, rows_per_tile: int,

@@ -45,7 +45,7 @@ class MultijoinResult:
         """One JSON metrics line, schema mirroring the reference's phase
         printout (main.cpp:385-413: realtime per phase + cumulative)."""
         t = self.timings_ns
-        return json.dumps({
+        line = {
             "subsystem": "multijoin",
             "outputRows": self.output_rows,
             "buildRows": self.stats.build_rows,
@@ -57,7 +57,19 @@ class MultijoinResult:
             "probeTimeNs": t.get("probe", 0),
             "totalJoinTimeNs": (t.get("split_build", 0) + t.get("split_probe", 0)
                                 + t.get("build", 0) + t.get("probe", 0)),
-        })
+        }
+        sched = getattr(self.stats, "probe_schedule", None)
+        if sched:
+            # the MEASURED per-unit probe schedule (ProbeIsPart owner
+            # order vs ProbeSteal cost-balanced chunks, probe.inl:18-52)
+            line["probeSchedule"] = {
+                "policy": sched["policy"],
+                "units": len(sched["units"]),
+                "workerMicros": [round(x, 1)
+                                 for x in sched["worker_micros"]],
+                "imbalance": round(sched["imbalance"], 4),
+            }
+        return json.dumps(line)
 
 
 def _load_side(side_conf: Dict[str, Any], base_path: str,

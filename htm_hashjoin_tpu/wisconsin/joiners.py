@@ -329,6 +329,10 @@ class HashJoiner(BaseJoiner):
                  if b > a]
         pad_len = max(8, next_pow2(max(b - a for a, b in units)))
         pad = jnp.full((pad_len,), -1, probe_keys.dtype)   # matches nothing
+        # warm-up on the shared unit shape: compile cost must not land on
+        # the first unit's measured time (the reference's timers likewise
+        # start after thread setup, main.cpp:99-109)
+        int(_match_bounds(self._build_keys_sorted, pad)[2])
         los, his, times = [], [], []
         total = 0
         for a, b in units:

@@ -147,3 +147,29 @@ def test_counters_config_file(tmp_path, capsys):
             assert set(ev) == {"mem_bytes", "ai"}
     finally:
         disable_counters()
+
+
+def test_banded_path_traffic_counters():
+    """The Pallas megakernel paths record exact planned DMA traffic as
+    their counter events (the pcm.cfg memory-event analog)."""
+    import dataclasses
+
+    from htm_hashjoin_tpu.config import Algo, Distribution, JoinConfig
+    from htm_hashjoin_tpu.data.generators import build_relations
+    from htm_hashjoin_tpu.joins.atomic import atomic_join
+    from htm_hashjoin_tpu.utils.profiler import disable_counters, enable_counters
+
+    cfg = JoinConfig(algo=Algo.ATOMIC, r_size=1 << 13,
+                     data_distr=Distribution.SHUFFLE, enable_probe=True,
+                     backend="pallas")
+    r, s = build_relations(cfg)
+    try:
+        enable_counters()
+        m = atomic_join(r, s, cfg)
+    finally:
+        disable_counters()
+    assert m.extra.get("backend") == "pallas_banded"
+    c = m.extra["counters"]["build+probe"]
+    # sort streams R twice, count re-reads R plus S: >= 3R + S bytes
+    assert c["bytes"] >= 4 * (3 * (1 << 13) + (1 << 13))
+    assert c["bandwidth"] > 0

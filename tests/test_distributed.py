@@ -187,3 +187,20 @@ def test_hierarchical_custom_axis_names():
     m = distributed_join(r, s, cfg, mesh=mesh)
     assert m.totalMatches == 1 << 12
     assert m.inputSum == m.outputSum
+
+
+def test_hierarchical_repair_covers_stage2_bound():
+    """Extreme skew on the 2-D mesh: stage 2's input can reach
+    capacity_factor x the shard (the stage-1 receive buffer), so the
+    repair buffer is sized from that bound (advisor r2 finding) — the
+    repair must stay exact with zero drops even when nearly everything
+    funnels to one destination."""
+    cfg = cfgs(data_distr=Distribution.ZIPF, distinct_keys=4,  # 4 hot keys
+               zipf_param=1.3, mesh_shape=(2, 4),
+               shuffle_capacity_factor=1.0, skew_handling=False)
+    r, s = build_relations(cfg)
+    m = distributed_join(r, s, cfg)
+    assert m.extra["repairedR"] + m.extra["repairedS"] > 0
+    assert m.extra["droppedR"] == 0 and m.extra["droppedS"] == 0
+    assert m.totalMatches == reference_match_count(r.keys, s.keys)
+    assert m.conserved

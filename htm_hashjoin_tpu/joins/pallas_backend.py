@@ -116,6 +116,34 @@ def banded_build_from_sorted(sorted_keys: jax.Array, *,
                        0, False)
 
 
+def _overflow_tile_matches(sorted2d, skeys_sorted, bad_tiles, off_np, end_np,
+                           tile: int) -> int:
+    """Exact per-tile counts for band-overflow tiles, in POW2-BUCKETED
+    static shapes: a naive ``skeys_sorted[off:end]`` slice compiles a
+    fresh XLA program per distinct length — ~50 s each over the TPU
+    tunnel (measured: one zipf point took 217 s through three overflow
+    tiles).  Padding the S segment to a power of two caps the shape set
+    at ~log(n) programs, cached across tiles, points and reps.  Pads are
+    0 (S_PAD): a zero never matches — MAXI32 would spuriously match the
+    R tile's own padding."""
+    flat = sorted2d.reshape(-1)
+    max_len = max(int(end_np[t]) - int(off_np[t]) for t in bad_tiles)
+    max_cap = max(8, 1 << (max(1, max_len - 1)).bit_length())
+    s_ext = jnp.concatenate(
+        [skeys_sorted, jnp.zeros((max_cap,), skeys_sorted.dtype)])
+    total = 0
+    for t in bad_tiles:
+        o, e = int(off_np[t]), int(end_np[t])
+        length = e - o
+        cap = max(8, 1 << (max(1, length - 1)).bit_length())
+        r_tile = jax.lax.dynamic_slice(flat, (int(t) * tile,), (tile,))
+        seg = jax.lax.dynamic_slice(s_ext, (o,), (cap,))
+        seg = jnp.where(
+            jnp.arange(cap) < jnp.asarray(length, jnp.int32), seg, 0)
+        total += int(probe_ops.probe_sorted(r_tile, seg))
+    return total
+
+
 @jax.jit
 def _slice_offsets(skeys_sorted, mins, maxs):
     # F queries against a huge sorted array: binary-search 'scan' is O(F log n);
@@ -179,12 +207,9 @@ def banded_probe(build: BandedBuild, skeys_sorted: jax.Array, *,
 
     overflow_tiles = np.nonzero(overflow)[0]
     if len(overflow_tiles):
-        flat = build.sorted2d.reshape(-1)
-        off_np, end_np = np.asarray(off), np.asarray(end)
-        for t in overflow_tiles:
-            r_tile = jax.lax.dynamic_slice(flat, (int(t) * tile,), (tile,))
-            s_slice = skeys_sorted[int(off_np[t]):int(end_np[t])]
-            matches += int(probe_ops.probe_sorted(r_tile, s_slice))
+        matches += _overflow_tile_matches(build.sorted2d, skeys_sorted,
+                                          overflow_tiles, np.asarray(off),
+                                          np.asarray(end), tile)
     return matches, len(overflow_tiles)
 
 
@@ -587,11 +612,8 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                                  int(bundle[3]), True, int(bundle[4]))
     if overflow_i:                      # skew spill → XLA per-tile fallback
         bad_tiles = np.nonzero(np.asarray(bad))[0]
-        flat = sorted2d.reshape(-1)
-        off_np, end_np = np.asarray(off), np.asarray(end)
-        for t in bad_tiles:
-            r_tile = jax.lax.dynamic_slice(flat, (int(t) * tile,), (tile,))
-            s_slice = skeys_sorted[int(off_np[t]):int(end_np[t])]
-            matches_i += int(probe_ops.probe_sorted(r_tile, s_slice))
+        matches_i += _overflow_tile_matches(sorted2d, skeys_sorted,
+                                            bad_tiles, np.asarray(off),
+                                            np.asarray(end), tile)
     return BandedJoinOutcome(matches_i, viols_i, overflow_i,
                              int(bundle[3]), resorted, int(bundle[4]))

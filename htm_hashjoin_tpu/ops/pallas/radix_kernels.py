@@ -258,10 +258,11 @@ def _scatter_megakernel(tbl_hbm, r_hbm, prefill_hbm, out_hbm, buf, obuf,
         # > 2^b — impossible).  Elements carry (value, remaining-δ);
         # staging fill is MAXI32 with δ=0 (it never moves, and arrivals
         # always win over it).  Tile-tail MAXI32 pads ride with run F-1.
-        ev = jnp.full((stage_rows, LANES), MAXI32, jnp.int32)
-        ed = jnp.zeros((stage_rows, LANES), jnp.int32)
-        ev = jax.lax.dynamic_update_slice(ev, v, (0, 0))
-        ed = jax.lax.dynamic_update_slice(ed, dlt, (0, 0))
+        tail = stage_rows - rows_per_tile
+        ev = jnp.concatenate(
+            [v, jnp.full((tail, LANES), MAXI32, jnp.int32)])
+        ed = jnp.concatenate(
+            [dlt, jnp.zeros((tail, LANES), jnp.int32)])
         for b in reversed(range(max_delta_bits)):
             step = 1 << b
             want = (ed & step) != 0

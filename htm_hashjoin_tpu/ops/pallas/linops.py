@@ -78,6 +78,11 @@ def lshift(x: jax.Array, s: int, fill) -> jax.Array:
     (y[i] = x[i+s] for i+s >= 0 else fill)."""
     rows, lanes = x.shape
     L = rows * lanes
+    # Coerce the fill scalar to the payload dtype: under x64 a python-int
+    # fill would enter jnp.where as a weak i64 literal whose i64->i32
+    # convert_element_type sends Mosaic's _convert_helper into unbounded
+    # recursion (no 64-bit lowering on the TC core).
+    fill = jnp.asarray(fill, x.dtype)
     y = lroll(x, s)
     i = linear_iota(x.shape)
     if s >= 0:

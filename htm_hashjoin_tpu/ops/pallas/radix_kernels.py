@@ -175,9 +175,12 @@ def _scatter_megakernel(tbl_hbm, r_hbm, prefill_hbm, out_hbm, buf, obuf,
     each run's chunks to its destination rows.
 
     The (T, 4F) plan table [a | δ | dest | nch] stays in HBM (it is far
-    too big for SMEM at production scale) and is streamed one row per
-    tile into a 3-slot SMEM ring: iteration t reads rows t-1 (the wait
-    phase), t (blend + issue) and prefetches t+1.
+    too big for SMEM at production scale) and is streamed in GROUPS of 8
+    rows (Mosaic requires HBM slice shapes 8-row aligned for int32) into
+    a 3-slot SMEM group ring: tile t reads row t%8 of group t//8; group
+    g+1 is prefetched when tile 8g enters, by which point group g-2's
+    rows (the slot being overwritten) had their last read in tile
+    8(g-1)'s wait phase.
 
     Ordering: tile t's out-DMAs are waited before tile t+1 issues any —
     consecutive tiles' runs in one region share an overhang row and the
@@ -195,48 +198,68 @@ def _scatter_megakernel(tbl_hbm, r_hbm, prefill_hbm, out_hbm, buf, obuf,
             r_hbm.at[pl.ds(t * rows_per_tile, rows_per_tile), :],
             buf.at[slot], sem_in.at[slot])
 
-    def tbl_dma(slot, t):
+    eight = jnp.int32(8)
+
+    def tbl_dma(slot, g):
+        """Plan-table group g (tile rows 8g..8g+7): Mosaic requires HBM
+        slice shapes 8-row aligned for int32, so rows stream by group."""
         return pltpu.make_async_copy(
-            tbl_hbm.at[pl.ds(t, 1), :], tbl_smem.at[pl.ds(slot, 1), :],
+            tbl_hbm.at[pl.ds(g * eight, 8), :], tbl_smem.at[slot],
             sem_tbl.at[slot])
+
+    def trow(t, j):
+        """Plan entry j of tile t out of the group ring."""
+        return tbl_smem[jax.lax.rem(t // eight, three), jax.lax.rem(t, eight),
+                        j]
 
     def run_chunk_dma(t, f, k):
         """Chunk k of run f of tile t: staging rows [qf + k*CH, +CH) ->
         out rows [dest + k*CH, +CH).  Staging is double-buffered by tile
         parity: tile t's writes are waited at t+1, so slot t%2 is free
         for re-fill at t+2."""
-        s3 = jax.lax.rem(t, three)
-        q_row = (tbl_smem[s3, f] + tbl_smem[s3, f_ + f]) // LANES
+        # int32-wrapped scalars: python ints are weak i64 under x64 and
+        # their convert_element_type has no Mosaic lowering (recursion).
+        q_row = (trow(t, f) + trow(t, f_ + f)) // jnp.int32(LANES)
+        k_ch = k * jnp.int32(CH)
         return pltpu.make_async_copy(
-            obuf.at[jax.lax.rem(t, two), pl.ds(q_row + k * CH, CH), :],
-            out_hbm.at[pl.ds(tbl_smem[s3, 2 * f_ + f] + k * CH, CH), :],
+            obuf.at[jax.lax.rem(t, two), pl.ds(q_row + k_ch, CH), :],
+            out_hbm.at[pl.ds(trow(t, 2 * f_ + f) + k_ch, CH), :],
             sem_out)
 
     def for_each_chunk(t, op):
-        s3 = jax.lax.rem(t, three)
-
         def digit_body(f, c):
             def chunk_body(k, cc):
                 op(t, f, k)
                 return cc
-            return jax.lax.fori_loop(jnp.int32(0), tbl_smem[s3, 3 * f_ + f],
+            return jax.lax.fori_loop(jnp.int32(0), trow(t, 3 * f_ + f),
                                      chunk_body, c)
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(fanout), digit_body,
                           jnp.int32(0))
 
+    n_groups = _cdiv(n_tiles, 8)
     in_dma(jnp.int32(0), jnp.int32(0)).start()
     tbl_dma(jnp.int32(0), jnp.int32(0)).start()
 
     def body(t, carry):
         slot = jax.lax.rem(t, two)
-        s3 = jax.lax.rem(t, three)
+        g = t // eight
+        g3 = jax.lax.rem(g, three)
 
         @pl.when(t + 1 < n_tiles)
         def _():
             in_dma(jax.lax.rem(t + 1, two), t + 1).start()
-            tbl_dma(jax.lax.rem(t + 1, three), t + 1).start()
 
-        tbl_dma(s3, t).wait()
+        # group ring: wait group g and prefetch g+1 at the group boundary.
+        # Slot (g+1)%3 holds group g-2, whose rows had their last read in
+        # tile 8(g-1)'s wait phase — free to overwrite now.
+        @pl.when(jax.lax.rem(t, eight) == 0)
+        def _():
+            tbl_dma(g3, g).wait()
+
+            @pl.when(g + 1 < n_groups)
+            def _():
+                tbl_dma(jax.lax.rem(g + 1, three), g + 1).start()
+
         in_dma(slot, t).wait()
         v = buf[slot]
 
@@ -246,7 +269,7 @@ def _scatter_megakernel(tbl_hbm, r_hbm, prefill_hbm, out_hbm, buf, obuf,
         idx = linops.linear_iota(shape)
 
         def blend(f, d):
-            return jnp.where(idx >= tbl_smem[s3, f], tbl_smem[s3, f_ + f], d)
+            return jnp.where(idx >= trow(t, f), trow(t, f_ + f), d)
         dlt = jax.lax.fori_loop(jnp.int32(0), jnp.int32(fanout), blend,
                                 jnp.zeros(shape, jnp.int32))
 
@@ -263,19 +286,23 @@ def _scatter_megakernel(tbl_hbm, r_hbm, prefill_hbm, out_hbm, buf, obuf,
             [v, jnp.full((tail, LANES), MAXI32, jnp.int32)])
         ed = jnp.concatenate(
             [dlt, jnp.zeros((tail, LANES), jnp.int32)])
+        mx32 = jnp.int32(MAXI32)
+        zero32 = jnp.int32(0)
         for b in reversed(range(max_delta_bits)):
             step = 1 << b
-            want = (ed & step) != 0
+            step32 = jnp.int32(step)
+            want = (ed & step32) != 0
             # position j receives from j-step when that element still owes
             # this bit; it keeps its own element unless that element leaves
-            mv_v = linops.lshift(jnp.where(want, ev, MAXI32), -step, MAXI32)
-            mv_d = linops.lshift(jnp.where(want, ed, 0), -step,
-                                 jnp.int32(0))
+            mv_v = linops.lshift(jnp.where(want, ev, mx32), -step, mx32)
+            mv_d = linops.lshift(jnp.where(want, ed, zero32), -step,
+                                 zero32)
             arrived = linops.lshift(
-                jnp.where(want, jnp.int32(1), jnp.int32(0)), -step,
-                jnp.int32(0)) != 0
-            ev = jnp.where(arrived, mv_v, jnp.where(want, MAXI32, ev))
-            ed = jnp.where(arrived, mv_d - step, jnp.where(want, 0, ed))
+                jnp.where(want, jnp.int32(1), zero32), -step,
+                zero32) != 0
+            ev = jnp.where(arrived, mv_v, jnp.where(want, mx32, ev))
+            ed = jnp.where(arrived, mv_d - step32,
+                           jnp.where(want, zero32, ed))
         obuf[jax.lax.rem(t, two)] = ev
 
         @pl.when(t >= 1)                  # ordered: finish tile t-1's writes
@@ -300,8 +327,14 @@ def _scatter_tiles_jit(sorted2d, a_elem, delta, dest_row, n_chunks, *,
     # staging span: data rows + worst-case CH quantization per run
     stage_rows = rows_per_tile + fanout * CH
     prefill = jnp.full((out_rows, LANES), MAXI32, jnp.int32)
-    # combined plan table, one row per tile: [a | delta | dest | nch]
+    # combined plan table, one row per tile: [a | delta | dest | nch],
+    # zero-padded to an 8-row multiple (one DMA group per 8 tiles; the
+    # pad rows are never read — n_tiles bounds the loop)
     tbl = jnp.concatenate([a_elem, delta, dest_row, n_chunks], axis=1)
+    pad_rows = _cdiv(n_tiles, 8) * 8 - n_tiles
+    if pad_rows:
+        tbl = jnp.concatenate(
+            [tbl, jnp.zeros((pad_rows, tbl.shape[1]), jnp.int32)])
     kernel = functools.partial(_scatter_megakernel, n_tiles=n_tiles,
                                rows_per_tile=rows_per_tile, fanout=fanout,
                                stage_rows=stage_rows)
@@ -315,7 +348,7 @@ def _scatter_tiles_jit(sorted2d, a_elem, delta, dest_row, n_chunks, *,
         scratch_shapes=[
             pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
             pltpu.VMEM((2, stage_rows, LANES), jnp.int32),
-            pltpu.SMEM((3, 4 * fanout), jnp.int32),
+            pltpu.SMEM((3, 8, 4 * fanout), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((3,)),

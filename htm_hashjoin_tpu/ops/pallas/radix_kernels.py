@@ -335,6 +335,13 @@ def _scatter_tiles_jit(sorted2d, a_elem, delta, dest_row, n_chunks, *,
     if pad_rows:
         tbl = jnp.concatenate(
             [tbl, jnp.zeros((pad_rows, tbl.shape[1]), jnp.int32)])
+    # lane-dim pad: HBM slice widths must be 128-lane multiples (small
+    # fanouts give 4F < 128); the pad columns are never read
+    tbl_cols = _cdiv(tbl.shape[1], LANES) * LANES
+    if tbl_cols != tbl.shape[1]:
+        tbl = jnp.concatenate(
+            [tbl, jnp.zeros((tbl.shape[0], tbl_cols - tbl.shape[1]),
+                            jnp.int32)], axis=1)
     kernel = functools.partial(_scatter_megakernel, n_tiles=n_tiles,
                                rows_per_tile=rows_per_tile, fanout=fanout,
                                stage_rows=stage_rows)
@@ -348,7 +355,7 @@ def _scatter_tiles_jit(sorted2d, a_elem, delta, dest_row, n_chunks, *,
         scratch_shapes=[
             pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
             pltpu.VMEM((2, stage_rows, LANES), jnp.int32),
-            pltpu.SMEM((3, 8, 4 * fanout), jnp.int32),
+            pltpu.SMEM((3, 8, _cdiv(4 * fanout, LANES) * LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((3,)),

@@ -79,6 +79,72 @@ def fmt_row(cells):
 ALL_ROWS = []
 
 
+def skew_section():
+    """skewprobe has no reference counterpart (the reference's only skew
+    machinery is mc's -z BUILD-side zipf, mc/src/main.c:393-412; it never
+    probes with a skewed S at the top level) — report absolute throughput
+    with conservation/match oracles instead of a ratio."""
+    path = None
+    for rep in ("2", "1"):
+        p = os.path.join(OURS_DIR, f"skewprobe_log{rep}")
+        if os.path.exists(p):
+            path = p
+            break
+    if path is None:
+        return []
+    rows = parse_json_lines(path)
+    out = ["## skewprobe (zipf-S probe sweep — no reference counterpart)",
+           "",
+           "PK build side probed by a zipf S (equal size); exercises the "
+           "banded engine's device sort of the unsorted probe side and, at "
+           "high skew, the duplicate-heavy general count / repair paths.  "
+           "Anchor: the reference's closest full build+probe row is NoCC "
+           "at 206,964 µs / 648 Mt/s (uniform S, BASELINE.md).",
+           "",
+           fmt_row(["algo", "zipf θ", "ours pipe µs", "ours 1run µs",
+                    "Mt/s (pipe)", "matches", "sum conserved"]),
+           fmt_row(["---"] * 7)]
+    for d in rows:
+        probe_us = float(d.get("probeTimeInMicroseconds", 0.0))
+        ot = float(d["hashBuildTimeInMicroseconds"]) + probe_us
+        o1 = float(d.get("singleRunTimeInMicroseconds",
+                         d["hashBuildTimeInMicroseconds"])) + probe_us
+        out.append(fmt_row([d["algo"], d.get("zipfParam", "?"),
+                            f"{ot:,.0f}", f"{o1:,.0f}",
+                            f"{float(d['rSize']) / ot:.0f}",
+                            f"{d.get('totalMatches', '—'):,}",
+                            "yes" if d.get("inputSum") == d.get("outputSum")
+                            else "NO"]))
+    return out + [""]
+
+
+def extra_log_sections():
+    """Round-3 measurement logs that live beside the grids."""
+    out = []
+    cx = os.path.join(OURS_DIR, "radix_crossover_log")
+    if os.path.exists(cx):
+        rows = parse_json_lines(cx)
+        out += ["## radix multipass vs global sort (crossover)", "",
+                fmt_row(["engine", "log2 n", "time µs", "Mt/s"]),
+                fmt_row(["---"] * 4)]
+        for d in rows:
+            mts = (1 << int(d["log2n"])) / float(d["timeUs"])
+            out.append(fmt_row([d["engine"], d["log2n"],
+                                f"{float(d['timeUs']):,.0f}", f"{mts:.0f}"]))
+        out.append("")
+    ad = os.path.join(OURS_DIR, "adaptive_dial_log")
+    if os.path.exists(ad):
+        rows = parse_json_lines(ad)
+        out += ["## adaptive dial (HTM_ADAPT analog): adaptive vs fixed "
+                "plans", "",
+                fmt_row(["plan", "rep", "time µs"]), fmt_row(["---"] * 3)]
+        for d in rows:
+            out.append(fmt_row([d.get("plan", "?"), d.get("rep", "?"),
+                                f"{float(d['timeUs']):,.0f}"]))
+        out.append("")
+    return out
+
+
 def main() -> int:
     out = ["# TPU engine vs reference: per-grid-point comparison",
            "",
@@ -180,6 +246,7 @@ def main() -> int:
     for grid, n, g, g1 in summary:
         head.append(fmt_row([grid, n, f"{g:.1f}x", f"{g1:.1f}x"]))
     out[4:4] = head + [""]
+    out += skew_section() + extra_log_sections()
     dest = os.path.join(OURS_DIR, "COMPARISON.md")
     with open(dest, "w") as f:
         f.write("\n".join(out) + "\n")

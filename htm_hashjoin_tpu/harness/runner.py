@@ -54,6 +54,12 @@ def run_config(cfg: JoinConfig) -> str:
         metrics = distributed_join(r, s, cfg)
     else:
         metrics = DISPATCH[cfg.algo.value](r, s, cfg)
+    if cfg.s_distr is not None:
+        # self-describing rows for the S-side sweeps (skewprobe): without
+        # these the zipf points are indistinguishable in the log
+        metrics.extra.setdefault("sDistr", cfg.s_distr.value)
+        if cfg.zipf_param is not None:
+            metrics.extra.setdefault("zipfParam", cfg.zipf_param)
     return metrics.to_json_line()
 
 

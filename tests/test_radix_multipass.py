@@ -145,3 +145,45 @@ def test_multipass_vs_sort_strategy_parity():
         cfg, radix_strategy="multipass"))
     assert m_mp.totalMatches == m_sort.totalMatches
     assert m_mp.inputSum == m_mp.outputSum
+
+
+def test_scatter_kernel_jaxpr_is_int64_free():
+    """Mosaic TC has no 64-bit lowering: an i64<->i32 convert_element_type
+    inside the kernel sends _convert_helper into unbounded recursion at
+    TPU compile time (invisible in CPU interpret mode).  Under x64 (which
+    the package enables for the int64 conservation sums) any bare python
+    int reaching jnp.where / floordiv / DMA index arithmetic becomes a
+    weak i64 literal, so pin the traced kernel jaxpr to be int64-free."""
+    import jax
+    from htm_hashjoin_tpu.ops.pallas.radix_kernels import _scatter_tiles_jit
+
+    rows = 8192 // 128
+    sorted2d = jnp.zeros((rows * 2, 128), jnp.int32)
+    tbl = jnp.zeros((2, 4), jnp.int32)
+    jaxpr = jax.make_jaxpr(
+        lambda s, a, d, dr, nc: _scatter_tiles_jit(
+            s, a, d, dr, nc, rows_per_tile=rows, fanout=4,
+            out_rows=rows * 4))(sorted2d, tbl, tbl, tbl, tbl)
+
+    def dtype_of(v):
+        aval = getattr(v, "aval", None)
+        return str(getattr(aval, "dtype", ""))
+
+    offenders = []
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            if any("int64" in dtype_of(v)
+                   for v in list(eqn.invars) + list(eqn.outvars)) or \
+                    "int64" in str(eqn.params.get("new_dtype", "")):
+                offenders.append(eqn.primitive.name)
+            for val in eqn.params.values():
+                items = val if isinstance(val, (list, tuple)) else [val]
+                for item in items:
+                    inner = (item if hasattr(item, "eqns")
+                             else getattr(item, "jaxpr", None))
+                    if inner is not None and hasattr(inner, "eqns"):
+                        walk(inner)
+
+    walk(jaxpr.jaxpr)
+    assert not offenders, f"int64 leaked into the scatter kernel: {offenders}"

@@ -343,11 +343,15 @@ def adaptive_window_estimate(rkeys: jax.Array, cfg: JoinConfig,
             dups = jnp.sum(sseg[1:] == sseg[:-1])
             return jnp.max(disp), dups
         mx, dups = jax.vmap(chunk_stats)(segs)
-        return jnp.max(mx), jnp.sum(dups)
+        # ONE stacked result: separate int() readbacks each pay the ~25-50ms
+        # host tunnel fence — two of them cost more than the engine run the
+        # sniff is trying to optimize
+        return jnp.stack([jnp.max(mx),
+                          jnp.sum(dups).astype(jnp.int32)])
 
     t0 = time.perf_counter()
-    mx, dups = _profile(rkeys, chunk, k)
-    mx, dups = int(mx), int(dups)          # the one sniff fence
+    stats = np.asarray(_profile(rkeys, chunk, k))   # the one sniff fence
+    mx, dups = int(stats[0]), int(stats[1])
     sniff_us = (time.perf_counter() - t0) * 1e6
     if timer is not None:
         timer.micros["sniff"] = timer.micros.get("sniff", 0.0) + sniff_us

@@ -1,6 +1,8 @@
 #!/bin/bash
-# Round-3 TPU follow-up batch (run after the chip recovers):
-#   1. multipass scatter kernel hardware sanity (2^20)
+# Round-3 TPU follow-up batch:
+#   1. multipass scatter kernel hardware sanity (2^20) — warms the compile
+#      cache for the crossover step; first proven 2026-08-20 after the
+#      int32/8-row-group Mosaic fixes
 #   2. skewprobe grid at 2^27 (zipf S, the TPU-safe generator)
 #   3. TSizeAndShuffleWindowstoTime 3rd repetition (the w=8192 anomaly
 #      re-measurement VERDICT r2 asked for: >=3 reps)
@@ -13,7 +15,7 @@ cd "$(dirname "$0")/.."
 set -x
 OUT=experiments/results_tpu27r3
 
-timeout 900 python - <<'EOF'
+timeout 1500 python - <<'EOF'
 import time, numpy as np, jax.numpy as jnp
 from htm_hashjoin_tpu.data.generators import shuffled_keys
 from htm_hashjoin_tpu.ops.pallas.radix_kernels import multipass_radix_partition, MAXI32
@@ -28,13 +30,13 @@ assert np.all(np.diff(dig) >= 0)
 print(f"HW SANITY OK multipass 2^20 in {time.time()-t0:.1f}s (incl. compile)")
 EOF
 
-timeout 3000 python -m htm_hashjoin_tpu.harness skewprobe --scale 27 --reps 2 \
+timeout 3600 python -m htm_hashjoin_tpu.harness skewprobe --scale 27 --reps 2 \
   --outDir $OUT --pipelineDepth 5 || echo "SKEWPROBE FAILED"
 
-timeout 3000 python -m htm_hashjoin_tpu.harness TSizeAndShuffleWindowstoTime \
+timeout 3600 python -m htm_hashjoin_tpu.harness TSizeAndShuffleWindowstoTime \
   --scale 27 --reps 1 --outDir ${OUT}_rep3 --pipelineDepth 5 || echo "TSIZE REP3 FAILED"
 
-timeout 3000 python experiments/radix_crossover.py --out $OUT/radix_crossover_log \
+timeout 3600 python experiments/radix_crossover.py --out $OUT/radix_crossover_log \
   || echo "CROSSOVER FAILED"
 
 timeout 1800 python experiments/adaptive_dial_bench.py --out $OUT/adaptive_dial_log \

@@ -310,6 +310,32 @@ class BandedPlan(NamedTuple):
     narrow: Optional[bool]   # narrow-kernel override (None = engine default)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _sniff_profile(keys, chunk, k):
+    """MODULE-LEVEL jit: defined inside adaptive_window_estimate it was a
+    fresh function identity per call, so every sniff re-traced (~130 ms —
+    2.5x the engine run it tunes)."""
+    stride = keys.shape[0] // k
+    starts = jnp.arange(k) * stride
+    segs = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(keys, (s,), (chunk,)))(starts)
+
+    def chunk_stats(seg):
+        order = jnp.argsort(seg, stable=True)
+        inv = jnp.zeros((chunk,), jnp.int32).at[order].set(
+            jnp.arange(chunk, dtype=jnp.int32))
+        disp = jnp.abs(inv - jnp.arange(chunk, dtype=jnp.int32))
+        sseg = seg[order]
+        dups = jnp.sum(sseg[1:] == sseg[:-1])
+        return jnp.max(disp), dups
+    mx, dups = jax.vmap(chunk_stats)(segs)
+    # ONE stacked result: separate int() readbacks each pay the ~25-50ms
+    # host tunnel fence — two of them cost more than the engine run the
+    # sniff is trying to optimize
+    return jnp.stack([jnp.max(mx),
+                      jnp.sum(dups).astype(jnp.int32)])
+
+
 def adaptive_window_estimate(rkeys: jax.Array, cfg: JoinConfig,
                              timer=None) -> dict:
     """HTM_ADAPT's observation step with a REAL dial (HTMHashBuild.hpp:
@@ -327,30 +353,8 @@ def adaptive_window_estimate(rkeys: jax.Array, cfg: JoinConfig,
     chunk = min(cfg.sniff_chunk, max(8, n // max(1, cfg.sniff_rounds)))
     k = max(1, min(cfg.sniff_rounds, n // chunk))
 
-    @functools.partial(jax.jit, static_argnums=(1, 2))
-    def _profile(keys, chunk, k):
-        stride = keys.shape[0] // k
-        starts = jnp.arange(k) * stride
-        segs = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(keys, (s,), (chunk,)))(starts)
-
-        def chunk_stats(seg):
-            order = jnp.argsort(seg, stable=True)
-            inv = jnp.zeros((chunk,), jnp.int32).at[order].set(
-                jnp.arange(chunk, dtype=jnp.int32))
-            disp = jnp.abs(inv - jnp.arange(chunk, dtype=jnp.int32))
-            sseg = seg[order]
-            dups = jnp.sum(sseg[1:] == sseg[:-1])
-            return jnp.max(disp), dups
-        mx, dups = jax.vmap(chunk_stats)(segs)
-        # ONE stacked result: separate int() readbacks each pay the ~25-50ms
-        # host tunnel fence — two of them cost more than the engine run the
-        # sniff is trying to optimize
-        return jnp.stack([jnp.max(mx),
-                          jnp.sum(dups).astype(jnp.int32)])
-
     t0 = time.perf_counter()
-    stats = np.asarray(_profile(rkeys, chunk, k))   # the one sniff fence
+    stats = np.asarray(_sniff_profile(rkeys, chunk, k))  # the one sniff fence
     mx, dups = int(stats[0]), int(stats[1])
     sniff_us = (time.perf_counter() - t0) * 1e6
     if timer is not None:
@@ -424,6 +428,18 @@ def pallas_metrics(cfg: JoinConfig, algo: str, outcome, elapsed_us: float,
         m.totalMatches = matches
     m.extra["backend"] = "pallas_banded"
     m.extra["resorted"] = outcome.resorted
+    from ..utils.profiler import active_counters, traffic_counters
+    if active_counters() is not None:
+        # same exact-by-construction traffic model as the probing-path
+        # emitter above: sort streams R once (read+write); a probe re-reads
+        # sorted R plus one S pass
+        probing = matches is not None
+        rb = 4.0 * cfg.r_size
+        byts = 2 * rb + ((rb + 4.0 * (cfg.s_size or 0)) if probing else 0)
+        c = traffic_counters(byts, elapsed_us)
+        if c:
+            m.extra["counters"] = {
+                ("build+probe" if probing else "build"): c}
     if cfg.r_size:
         # fractions, with the TM_RETRY rule (HTMHashBuild.hpp:410-415)
         m.failedTransactionPercentage = m.failedTransactions / cfg.r_size

@@ -67,12 +67,26 @@ def throughput_report(num_tuples: int, micros: float) -> Dict[str, float]:
 # ---------------------------------------------------------------------------
 
 def cost_analysis(fn: Callable, *args, **kwargs) -> Dict[str, float]:
-    """Compile ``fn`` for the current backend and return XLA's cost model
-    for the whole program: flops, bytes accessed (total and per
-    operand/output), and any backend-specific keys."""
+    """Compile ``fn`` and return XLA's cost model for the whole program:
+    flops, bytes accessed (total and per operand/output), and any
+    backend-specific keys.
+
+    The lowering happens on the LOCAL CPU backend over abstract avals:
+    on the axon TPU tunnel a ``.lower().compile()`` issued only for cost
+    analysis goes through the remote AOT compile service again (~30-60 s
+    per program, and observed to wedge outright on 2^27 shapes — the
+    counters grid hung for 30 min).  flops/bytes are properties of the
+    traced program, so the CPU cost model is the right PCM-analog here;
+    only fusion-level differences are lost."""
+    import numpy as np
+
     jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
-    compiled = jitted.lower(*args, **kwargs).compile()
-    ca = compiled.cost_analysis()
+    avals = tuple(
+        jax.ShapeDtypeStruct(np.shape(a), a.dtype)
+        if hasattr(a, "dtype") else a for a in args)
+    with jax.default_device(jax.devices("cpu")[0]):
+        compiled = jitted.lower(*avals, **kwargs).compile()
+        ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):  # older jax returns [dict]
         ca = ca[0] if ca else {}
     return dict(ca or {})

@@ -173,3 +173,29 @@ def test_banded_path_traffic_counters():
     # sort streams R twice, count re-reads R plus S: >= 3R + S bytes
     assert c["bytes"] >= 4 * (3 * (1 << 13) + (1 << 13))
     assert c["bandwidth"] > 0
+
+
+def test_banded_build_only_traffic_counters():
+    """The build-only pallas path (pallas_metrics) must also emit traffic
+    counters — the 2^27 TPU counters grid initially showed htm build rows
+    with no counters because only the probing-path emitter had them."""
+    from htm_hashjoin_tpu.config import Algo, Distribution, JoinConfig
+    from htm_hashjoin_tpu.data.generators import build_relations
+    from htm_hashjoin_tpu.joins.htm import htm_join
+    from htm_hashjoin_tpu.utils.profiler import (disable_counters,
+                                                 enable_counters)
+
+    cfg = JoinConfig(algo=Algo.HTM, r_size=1 << 13,
+                     data_distr=Distribution.SORTED, enable_probe=False,
+                     backend="pallas")
+    r, _ = build_relations(cfg)
+    try:
+        enable_counters()
+        m = htm_join(r, None, cfg)
+    finally:
+        disable_counters()
+    assert m.extra.get("backend") == "pallas_banded"
+    c = m.extra["counters"]["build"]
+    # build streams R through VMEM once: read + write >= 2R bytes
+    assert c["bytes"] >= 4 * 2 * (1 << 13)
+    assert c["bandwidth"] > 0

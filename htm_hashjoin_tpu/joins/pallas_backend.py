@@ -118,30 +118,34 @@ def banded_build_from_sorted(sorted_keys: jax.Array, *,
 
 def _overflow_tile_matches(sorted2d, skeys_sorted, bad_tiles, off_np, end_np,
                            tile: int) -> int:
-    """Exact per-tile counts for band-overflow tiles, in POW2-BUCKETED
-    static shapes: a naive ``skeys_sorted[off:end]`` slice compiles a
-    fresh XLA program per distinct length — ~50 s each over the TPU
-    tunnel (measured: one zipf point took 217 s through three overflow
-    tiles).  Padding the S segment to a power of two caps the shape set
-    at ~log(n) programs, cached across tiles, points and reps.  Pads are
-    0 (S_PAD): a zero never matches — MAXI32 would spuriously match the
-    R tile's own padding."""
+    """Exact counts for band-overflow tiles in ONE batched program.
+
+    Three designs were measured at theta=1.25 (46 overflow tiles, 2^27):
+    per-tile probe_sorted over pow2-bucketed band segments re-sorted up
+    to 2^27 elements per tile and fenced per tile (3.5 s); per-tile
+    binary-search scans kept the segment zoo and serialized 46 latency-
+    bound gather chains (no better).  This version stacks the overflow
+    tiles (pow2-padded count -> ~log programs total) and runs a single
+    count_in_sorted against the FULL sorted S: no segment slicing, the
+    searchsorted gather rounds batch across tiles, and one host fence
+    reads the total.  Correctness is unchanged — the band restriction
+    was only ever an optimization, exact-key counts against all of S
+    are the same numbers.  Pad tiles are MAXI32 rows (excluded by
+    count_in_sorted)."""
+    del off_np, end_np               # bands no longer restrict the count
     flat = sorted2d.reshape(-1)
-    max_len = max(int(end_np[t]) - int(off_np[t]) for t in bad_tiles)
-    max_cap = max(8, 1 << (max(1, max_len - 1)).bit_length())
-    s_ext = jnp.concatenate(
-        [skeys_sorted, jnp.zeros((max_cap,), skeys_sorted.dtype)])
-    total = 0
-    for t in bad_tiles:
-        o, e = int(off_np[t]), int(end_np[t])
-        length = e - o
-        cap = max(8, 1 << (max(1, length - 1)).bit_length())
-        r_tile = jax.lax.dynamic_slice(flat, (int(t) * tile,), (tile,))
-        seg = jax.lax.dynamic_slice(s_ext, (o,), (cap,))
-        seg = jnp.where(
-            jnp.arange(cap) < jnp.asarray(length, jnp.int32), seg, 0)
-        total += int(probe_ops.probe_sorted(r_tile, seg))
-    return total
+    b = len(bad_tiles)
+    b_cap = max(1, 1 << (b - 1).bit_length()) if b else 0
+    if not b_cap:
+        return 0
+    idx = np.zeros((b_cap,), np.int32)
+    idx[:b] = np.asarray(bad_tiles, np.int32)
+    tiles2d = jax.vmap(
+        lambda t: jax.lax.dynamic_slice(flat, (t * tile,), (tile,)))(
+        jnp.asarray(idx))
+    valid = (jnp.arange(b_cap) < b)[:, None]
+    keys = jnp.where(valid, tiles2d, MAXI32).reshape(-1)
+    return int(probe_ops.count_in_sorted(keys, skeys_sorted))
 
 
 @jax.jit

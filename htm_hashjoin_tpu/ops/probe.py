@@ -77,6 +77,22 @@ def probe_sorted(build_keys: jax.Array, skeys: jax.Array) -> jax.Array:
     return jnp.sum(contrib.astype(jnp.int64))
 
 
+@jax.jit
+def count_in_sorted(r_keys: jax.Array, s_sorted: jax.Array) -> jax.Array:
+    """Multiset match count of r_keys against an ALREADY-SORTED s_sorted
+    via two binary-search scans — O(|R| log |S|) instead of probe_sorted's
+    O((|R|+|S|) log) full tagged re-sort (which ignores pre-sortedness).
+    R-side MAXI32 padding is excluded, so s_sorted may be MAXI32-padded
+    (keeps it sorted); R duplicates multiply correctly (each R element
+    contributes its own count_S).  Right choice when |R| << |S| — e.g.
+    one build tile against a band segment; for |R| ~ |S| the 27 serial
+    gather rounds lose to the single fused sort."""
+    lo = jnp.searchsorted(s_sorted, r_keys, side="left", method="scan")
+    hi = jnp.searchsorted(s_sorted, r_keys, side="right", method="scan")
+    valid = r_keys != jnp.iinfo(jnp.int32).max
+    return jnp.sum(jnp.where(valid, (hi - lo).astype(jnp.int64), 0))
+
+
 def table_sum(table: jax.Array) -> jax.Array:
     """Σ of keys present in a table (empty slots are 0) — half of the
     outputSum conservation oracle (HTMHashBuild.hpp:322-401)."""

@@ -134,3 +134,24 @@ def test_heavy_hitters():
     hist = jnp.array([10, 500, 20, 900], dtype=jnp.int32)
     hh = partition.heavy_hitters(hist, 100)
     np.testing.assert_array_equal(np.asarray(hh), [False, True, False, True])
+
+
+def test_count_in_sorted_matches_probe_sorted():
+    """count_in_sorted (binary-search scan over a pre-sorted S) must agree
+    with probe_sorted (full tagged sort) on duplicate-heavy data, exclude
+    R-side MAXI32 pads, and tolerate MAXI32 S padding."""
+    import numpy as np
+    import jax.numpy as jnp
+    from htm_hashjoin_tpu.ops import probe as probe_ops
+
+    MAXI32 = np.iinfo(np.int32).max
+    rng = np.random.default_rng(7)
+    s = np.sort(rng.integers(1, 50, size=4096).astype(np.int32))
+    r = rng.integers(1, 80, size=512).astype(np.int32)
+    r[100:120] = MAXI32                       # R tile padding
+    s_pad = np.concatenate([s, np.full(1024, MAXI32, np.int32)])
+
+    want = int(probe_ops.probe_sorted(jnp.asarray(r[np.where(r != MAXI32)]),
+                                      jnp.asarray(s)))
+    got = int(probe_ops.count_in_sorted(jnp.asarray(r), jnp.asarray(s_pad)))
+    assert got == want

@@ -112,7 +112,9 @@ def skew_section():
         out.append(fmt_row([d["algo"], d.get("zipfParam", "?"),
                             f"{ot:,.0f}", f"{o1:,.0f}",
                             f"{float(d['rSize']) / ot:.0f}",
-                            f"{d.get('totalMatches', '—'):,}",
+                            (f"{d['totalMatches']:,}"
+                             if isinstance(d.get("totalMatches"), int)
+                             else "—"),
                             "yes" if d.get("inputSum") == d.get("outputSum")
                             else "NO"]))
     return out + [""]

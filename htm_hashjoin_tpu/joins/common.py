@@ -235,11 +235,10 @@ def pallas_unique_join(algo: str, r: Relation, s: Optional[Relation],
     m.extra["resorted"] = out.resorted
     from ..utils.profiler import active_counters, traffic_counters
     if active_counters() is not None:
-        # megakernel phase traffic is exact by construction: the sort
-        # streams R through VMEM once (read+write), the count re-reads
-        # sorted R plus the S bands (≈ one S pass for narrow plans)
-        rb = 4.0 * cfg.r_size
-        byts = 2 * rb + ((rb + 4.0 * (cfg.s_size or 0)) if probing else 0)
+        # planned megakernel traffic, scaled by the plan tier (presort and
+        # sort_s runs stream the relation once per global-sort pass)
+        byts = plan_traffic_bytes(cfg, plan, probing,
+                                  sort_s=probing and not s.assume_sorted)
         c = traffic_counters(byts, elapsed_us)
         if c:
             m.extra["counters"] = {
@@ -300,6 +299,52 @@ def maybe_pipeline_timing(m: JoinMetrics, cfg: JoinConfig, plan, r: Relation,
     m.extra["singleRunTimeInMicroseconds"] = m.hashBuildTimeInMicroseconds
     m.extra["pipelineDepth"] = depth
     m.hashBuildTimeInMicroseconds = per_point_us
+
+
+def _gsort_pass_count(n: int, tile: int = 65536) -> int:
+    """Full HBM read+write passes of the grouped bitonic global sort over an
+    n-element relation (pow2-padded tiles): 1 phase-A pass plus
+    ceil(level/GSORT_BITS) per cross-tile level.  Kept in terms of
+    GSORT_BITS so the traffic model tracks the kernel structure."""
+    from ..ops.pallas.join_kernels import GSORT_BITS
+    n_tiles = max(1, (n + tile - 1) // tile)
+    n_tiles = 1 << (n_tiles - 1).bit_length()
+    levels = n_tiles.bit_length() - 1
+    return 1 + sum((j + GSORT_BITS - 1) // GSORT_BITS
+                   for j in range(1, levels + 1))
+
+
+def plan_traffic_bytes(cfg: JoinConfig, plan: "BandedPlan", probing: bool,
+                       sort_s: bool) -> float:
+    """Planned DMA bytes of the banded engine for THIS plan tier.  The old
+    flat 2R+(R+S) model undercounted presort/sort_s runs (the multi-pass
+    global bitonic streams the relation once per pass); this scales by the
+    plan's actual pass structure:
+
+      * presorted build: one R read (stats/conservation pass);
+      * tile-sort build: one R stream (read + write);
+      * presort build:   read+write per global-sort pass;
+      * probing count:   sorted R re-read + one S-band pass;
+      * sort_s:          read+write per global-sort pass over S.
+
+    The fused sort+count kernel saves one R round trip vs the two-kernel
+    pipeline; the model keeps the two-kernel figure, making it a documented
+    upper bound there (validated against measured traces in
+    tests/test_counters_validation.py)."""
+    rb = 4.0 * cfg.r_size
+    sb = 4.0 * (cfg.s_size or 0)
+    if plan.presorted:
+        build = rb
+    elif plan.presort:
+        build = 2.0 * rb * _gsort_pass_count(cfg.r_size)
+    else:
+        build = 2.0 * rb
+    byts = build
+    if probing:
+        byts += rb + sb
+        if sort_s:
+            byts += 2.0 * sb * _gsort_pass_count(cfg.s_size or 0)
+    return byts
 
 
 class BandedPlan(NamedTuple):
@@ -414,8 +459,14 @@ def pallas_plan(cfg: JoinConfig, probing: bool = True,
 
 
 def pallas_metrics(cfg: JoinConfig, algo: str, outcome, elapsed_us: float,
-                   matches: Optional[int]) -> JoinMetrics:
-    """Fold a BandedJoinOutcome into the reference metrics schema."""
+                   matches: Optional[int],
+                   plan: Optional["BandedPlan"] = None,
+                   sort_s: bool = False) -> JoinMetrics:
+    """Fold a BandedJoinOutcome into the reference metrics schema.
+
+    ``plan``/``sort_s`` feed the plan-scaled traffic model for --counters
+    lines; callers that ran a presort or device S sort must pass them or
+    the emitted bytes undercount (ADVICE r3)."""
     m = JoinMetrics(algo=algo, rSize=cfg.r_size,
                     transactionSize=cfg.transaction_size,
                     probeLength=cfg.probe_length,
@@ -430,12 +481,11 @@ def pallas_metrics(cfg: JoinConfig, algo: str, outcome, elapsed_us: float,
     m.extra["resorted"] = outcome.resorted
     from ..utils.profiler import active_counters, traffic_counters
     if active_counters() is not None:
-        # same exact-by-construction traffic model as the probing-path
-        # emitter above: sort streams R once (read+write); a probe re-reads
-        # sorted R plus one S pass
         probing = matches is not None
-        rb = 4.0 * cfg.r_size
-        byts = 2 * rb + ((rb + 4.0 * (cfg.s_size or 0)) if probing else 0)
+        byts = plan_traffic_bytes(
+            cfg, plan if plan is not None else BandedPlan(None, False, False,
+                                                          None),
+            probing, sort_s)
         c = traffic_counters(byts, elapsed_us)
         if c:
             m.extra["counters"] = {

@@ -187,7 +187,7 @@ def _htm_build_pallas(cfg: JoinConfig, r: Relation) -> JoinMetrics:
     elapsed_us = (time.perf_counter() - t0) * 1e6
     if cfg.track:
         out, tile_viols, tile_dups = res
-        m = pallas_metrics(cfg, "htm", out, elapsed_us, None)
+        m = pallas_metrics(cfg, "htm", out, elapsed_us, None, plan=plan)
         # TM_TRACK abort-histogram analog (HTMHashBuild.hpp:134-142): the
         # per-tile violation fractions of the optimistic sorter (chunk =
         # one 65536-element tile here vs the reference's 16384 window)
@@ -208,7 +208,7 @@ def _htm_build_pallas(cfg: JoinConfig, r: Relation) -> JoinMetrics:
         m.extra["duplicateAliasFractions"] = [float(f) for f in dup_frac[:64]]
     else:
         out = res
-        m = pallas_metrics(cfg, "htm", out, elapsed_us, None)
+        m = pallas_metrics(cfg, "htm", out, elapsed_us, None, plan=plan)
     if sniff is not None:
         m.extra["adaptivePlan"] = {
             "window": plan.window, "presort": plan.presort, **sniff}
@@ -242,7 +242,8 @@ def _htm_join_pallas(r: Relation, s: Relation, cfg: JoinConfig) -> JoinMetrics:
                                 unique_both=keys_unique_both(cfg),
                                 interpret=interpret)
     elapsed_us = (time.perf_counter() - t0) * 1e6
-    m = pallas_metrics(cfg, "htm", out, elapsed_us, out.matches)
+    m = pallas_metrics(cfg, "htm", out, elapsed_us, out.matches, plan=plan,
+                       sort_s=not s.assume_sorted)
     if sniff is not None:
         m.extra["adaptivePlan"] = {
             "window": plan.window, "presort": plan.presort, **sniff}

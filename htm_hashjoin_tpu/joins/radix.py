@@ -194,7 +194,10 @@ def radix_join(r: Relation, s: Optional[Relation] = None,
                                     unique_both=keys_unique_both(cfg),
                                     interpret=interpret)
         elapsed_us = (time.perf_counter() - t0) * 1e6
-        m = pallas_metrics(cfg, "radix", out, elapsed_us, out.matches)
+        from .common import BandedPlan
+        m = pallas_metrics(cfg, "radix", out, elapsed_us, out.matches,
+                           plan=BandedPlan(None, True, False, None),
+                           sort_s=not s.assume_sorted)
         m.partitionTimeInMicroseconds = elapsed_us
         m.extra["radixBits"] = cfg.radix_bits
         m.extra["numPasses"] = cfg.radix_passes

@@ -80,8 +80,12 @@ def sortmerge_join(r: Relation, s: Optional[Relation] = None,
                                     unique_both=keys_unique_both(cfg),
                                     s2d=s2d, interpret=interpret)
         merge_us = (time.perf_counter() - t1) * 1e6
+        from .common import BandedPlan
         m = pallas_metrics(cfg, "sortmerge", out, sort_us + merge_us,
-                           out.matches)
+                           out.matches,
+                           plan=BandedPlan(None, not sorted_in, sorted_in,
+                                           None),
+                           sort_s=not s.assume_sorted)
         m.sortTimeInMicroseconds = sort_us
         m.mergeTimeInMicroseconds = merge_us
         m.probeTimeInMicroseconds = merge_us

@@ -81,11 +81,18 @@ def cost_analysis(fn: Callable, *args, **kwargs) -> Dict[str, float]:
     import numpy as np
 
     jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
-    avals = tuple(
-        jax.ShapeDtypeStruct(np.shape(a), a.dtype)
-        if hasattr(a, "dtype") else a for a in args)
+
+    def aval(a):
+        # abstract BOTH args and kwargs: a concrete array kwarg stays
+        # committed to the TPU device and makes the CPU lowering fail
+        # (which phase_counters_from_fn would silently swallow)
+        return (jax.ShapeDtypeStruct(np.shape(a), a.dtype)
+                if hasattr(a, "dtype") else a)
+
+    avals = tuple(aval(a) for a in args)
+    kwavals = {k: aval(v) for k, v in kwargs.items()}
     with jax.default_device(jax.devices("cpu")[0]):
-        compiled = jitted.lower(*avals, **kwargs).compile()
+        compiled = jitted.lower(*avals, **kwavals).compile()
         ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):  # older jax returns [dict]
         ca = ca[0] if ca else {}

@@ -196,6 +196,30 @@ def test_banded_build_only_traffic_counters():
         disable_counters()
     assert m.extra.get("backend") == "pallas_banded"
     c = m.extra["counters"]["build"]
-    # build streams R through VMEM once: read + write >= 2R bytes
-    assert c["bytes"] >= 4 * 2 * (1 << 13)
+    # certified-sorted build is a single stats read of R under the
+    # plan-scaled traffic model (plan_traffic_bytes): >= 1R bytes
+    assert c["bytes"] >= 4 * (1 << 13)
     assert c["bandwidth"] > 0
+
+
+def test_plan_traffic_bytes_scales_presort():
+    """ADVICE r3: presort/sort_s plans stream the relation once per
+    global-sort pass — the traffic model must scale with the pass count,
+    not report the flat 2R+(R+S) figure."""
+    from htm_hashjoin_tpu.config import JoinConfig
+    from htm_hashjoin_tpu.joins.common import (BandedPlan, _gsort_pass_count,
+                                               plan_traffic_bytes)
+
+    n = 1 << 20
+    cfg = JoinConfig(r_size=n, s_size=n)
+    flat = plan_traffic_bytes(cfg, BandedPlan(None, False, False, None),
+                              True, False)
+    presort = plan_traffic_bytes(cfg, BandedPlan(None, True, False, None),
+                                 True, False)
+    both = plan_traffic_bytes(cfg, BandedPlan(None, True, False, None),
+                              True, True)
+    passes = _gsort_pass_count(n)
+    assert passes > 1
+    assert flat == 4.0 * (2 * n + n + n)
+    assert presort == 4.0 * (2 * n * passes + n + n)
+    assert both == presort + 4.0 * 2 * n * passes

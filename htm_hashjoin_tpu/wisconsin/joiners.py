@@ -98,8 +98,8 @@ def _expand_matches(lo: jax.Array, hi: jax.Array, cap: int):
     return probe_idx, build_rank, total
 
 
-@jax.jit
-def _match_bounds(sorted_keys: jax.Array, probe_keys: jax.Array):
+def _match_bounds_tagged(sorted_keys: jax.Array, probe_keys: jax.Array,
+                         comp_dtype):
     """Match ranges [lo, hi) of each probe key in the key-sorted build side
     — the bucket-chain walk analog (storage.cpp realprobeCursor;
     hashtable.h iterator).
@@ -108,11 +108,17 @@ def _match_bounds(sorted_keys: jax.Array, probe_keys: jax.Array):
     element's sorted position, the running build-element count equals
     hi(key) and the count at its key-run start equals lo(key); scattering
     those through the carried row indices yields per-row bounds — 4x less
-    sort work than two searchsorted(method='sort') calls."""
+    sort work than two searchsorted(method='sort') calls.
+
+    ``comp_dtype`` is the tagged-composite dtype: int32 when every key is
+    certified < 2^30 (the reference-scale workloads: keys <= 16M,
+    wisconsin-src/datagen/genbuild.py) — int64 sorts on this TPU run ~10x
+    slower than int32 (no native 64-bit vector path), and the composite
+    sort is the entire probe cost at 16M x 256M scale."""
     n_b, n_p = sorted_keys.shape[0], probe_keys.shape[0]
     comp = jnp.concatenate([
-        sorted_keys.astype(jnp.int64) * 2,
-        probe_keys.astype(sorted_keys.dtype).astype(jnp.int64) * 2 + 1,
+        sorted_keys.astype(comp_dtype) * 2,
+        probe_keys.astype(sorted_keys.dtype).astype(comp_dtype) * 2 + 1,
     ])
     rows = jnp.concatenate([jnp.zeros((n_b,), jnp.int32),
                             jnp.arange(n_p, dtype=jnp.int32)])
@@ -132,6 +138,50 @@ def _match_bounds(sorted_keys: jax.Array, probe_keys: jax.Array):
         a.astype(jnp.int32), mode="drop")
     total = jnp.sum(jnp.where(is_probe, a - prev_a, 0).astype(jnp.int64))
     return lo, hi, total
+
+
+@jax.jit
+def _match_bounds_i64(sorted_keys, probe_keys):
+    return _match_bounds_tagged(sorted_keys, probe_keys, jnp.int64)
+
+
+@jax.jit
+def _match_bounds_i32(sorted_keys, probe_keys):
+    return _match_bounds_tagged(sorted_keys, probe_keys, jnp.int32)
+
+
+@jax.jit
+def _keys_absmax(a, b):
+    """One fused readback certifying the int32 composite: max |key| over
+    both sides, stacked so the certification costs ONE host fence (~25 ms
+    on this tunnel), not two."""
+    m = jnp.maximum(
+        jnp.maximum(jnp.max(a), jnp.max(b)).astype(jnp.int64),
+        -jnp.minimum(jnp.min(a), jnp.min(b)).astype(jnp.int64))
+    return m
+
+
+_I32_COMP_LIMIT = 1 << 30        # |key|*2+1 must stay in int32
+
+
+def _match_bounds(sorted_keys: jax.Array, probe_keys: jax.Array,
+                  key_bound: Optional[int] = None):
+    """Dtype-routing wrapper: int32 tagged sort when |key| is certified
+    < 2^30 (the composite key*2+tag is order-preserving in int32 there —
+    negative keys included), int64 otherwise.  Pass ``key_bound`` =
+    max |key| to skip the certification readback; Wisconsin joiners certify
+    once per probe and reuse the bound across schedule units."""
+    if key_bound is None:
+        if (jnp.issubdtype(sorted_keys.dtype, jnp.signedinteger)
+                and sorted_keys.dtype.itemsize <= 4
+                and probe_keys.dtype.itemsize <= 4
+                and sorted_keys.size and probe_keys.size):
+            key_bound = int(_keys_absmax(sorted_keys, probe_keys))
+        else:
+            key_bound = _I32_COMP_LIMIT
+    if key_bound < _I32_COMP_LIMIT:
+        return _match_bounds_i32(sorted_keys, probe_keys)
+    return _match_bounds_i64(sorted_keys, probe_keys)
 
 
 # ---------------------------------------------------------------------------
@@ -329,16 +379,21 @@ class HashJoiner(BaseJoiner):
                  if b > a]
         pad_len = max(8, next_pow2(max(b - a for a, b in units)))
         pad = jnp.full((pad_len,), -1, probe_keys.dtype)   # matches nothing
+        # certify the int32 composite ONCE for the whole schedule (a
+        # per-unit certification readback would add a ~25 ms fence per unit)
+        kb = (int(_keys_absmax(self._build_keys_sorted, probe_keys))
+              if probe_keys.dtype.itemsize <= 4 else _I32_COMP_LIMIT)
         # warm-up on the shared unit shape: compile cost must not land on
         # the first unit's measured time (the reference's timers likewise
         # start after thread setup, main.cpp:99-109)
-        int(_match_bounds(self._build_keys_sorted, pad)[2])
+        int(_match_bounds(self._build_keys_sorted, pad, key_bound=kb)[2])
         los, his, times = [], [], []
         total = 0
         for a, b in units:
             seg = jax.lax.dynamic_update_slice(pad, probe_keys[a:b], (0,))
             t0 = time.perf_counter()
-            lo_u, hi_u, t_u = _match_bounds(self._build_keys_sorted, seg)
+            lo_u, hi_u, t_u = _match_bounds(self._build_keys_sorted, seg,
+                                            key_bound=kb)
             total += int(t_u)               # readback = the unit's fence
             times.append((time.perf_counter() - t0) * 1e6)
             los.append(lo_u[:b - a])

@@ -581,3 +581,33 @@ def test_load_bz2(tmp_path):
     wt.load(str(p))
     assert wt.num_rows == 100
     assert int(np.asarray(wt.column(2))[-1]) == 1000
+
+
+def test_match_bounds_i32_fast_path_agrees_with_i64():
+    """The int32 tagged-composite fast path (keys certified |k| < 2^30 —
+    reference-scale multijoin keys are <= 16M, datagen/genbuild.py) must
+    agree exactly with the general int64 path, including negative pad keys
+    and duplicate-heavy probes."""
+    import jax.numpy as jnp
+    from htm_hashjoin_tpu.wisconsin.joiners import (_match_bounds,
+                                                    _match_bounds_i32,
+                                                    _match_bounds_i64)
+    rng = np.random.default_rng(7)
+    build = np.sort(rng.integers(0, 500, size=1024)).astype(np.int32)
+    probe = rng.integers(-1, 600, size=2048).astype(np.int32)  # incl. pad -1
+    b, p = jnp.asarray(build), jnp.asarray(probe)
+    lo32, hi32, t32 = _match_bounds_i32(b, p)
+    lo64, hi64, t64 = _match_bounds_i64(b, p)
+    assert int(t32) == int(t64)
+    assert np.array_equal(np.asarray(lo32), np.asarray(lo64))
+    assert np.array_equal(np.asarray(hi32), np.asarray(hi64))
+    # the router certifies and picks i32 here; bound pass-through matches
+    lo, hi, t = _match_bounds(b, p)
+    assert int(t) == int(t64)
+    lo_b, hi_b, t_b = _match_bounds(b, p, key_bound=600)
+    assert int(t_b) == int(t64)
+    # wide keys force the i64 path and stay exact
+    wide = jnp.asarray(probe.astype(np.int64) + (1 << 40))
+    lo_w, hi_w, t_w = _match_bounds(jnp.asarray(build.astype(np.int64)),
+                                    wide)
+    assert int(t_w) == 0

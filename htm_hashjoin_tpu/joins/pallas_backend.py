@@ -27,7 +27,6 @@ import numpy as np
 from ..ops.pallas.join_kernels import (MAXI32, OV_ROWS, banded_count,
                                        banded_count_narrow, fused_sort_count,
                                        sort_tiles, tile_stats)
-from ..ops import probe as probe_ops
 
 LANES = 128
 DEFAULT_TILE = 65536
@@ -116,36 +115,84 @@ def banded_build_from_sorted(sorted_keys: jax.Array, *,
                        0, False)
 
 
+@jax.jit
+def _segmented_count_tagged(comp_sorted: jax.Array) -> jax.Array:
+    """Multiset match count from a SORTED key*2+tag composite stream
+    (tag 0 = build, 1 = probe): per probe element, the number of build
+    elements in its key run — the banded kernels' contribution formula
+    (join_kernels.make_contributions) in XLA over the whole stream.
+    MAXI32 padding is odd-tagged and self-cancels (its run has bcnt 0,
+    so a - prev_a == 0)."""
+    tag = comp_sorted & 1
+    bcnt = 1 - tag
+    a = jax.lax.cumsum(bcnt)               # int32: n_build < 2^31
+    key = comp_sorted >> 1
+    run_start = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 key[1:] != key[:-1]])
+    prev_a = jax.lax.cummax(jnp.where(run_start, a - bcnt, -1))
+    return jnp.sum(jnp.where(tag == 1, a - prev_a, 0).astype(jnp.int64))
+
+
+def tagged_count(r_keys: jax.Array, skeys: jax.Array, *, tile: int,
+                 interpret: bool = False) -> jax.Array:
+    """Skew-oblivious multiset join count: ONE Pallas global sort of the
+    int32 tagged composite + a streaming segmented count.  Keys must be
+    < 2^29 (the engine's PACK_LIMIT certificate; key*2+1 < 2^30).
+    MAXI32-valued R entries are treated as padding (their composite stays
+    MAXI32, an odd-tagged self-cancelling run).
+
+    This replaces the searchsorted-scan repair (ops/probe.count_in_sorted),
+    whose binary-search gathers measured 5.06 s for 2^22 queries into a
+    2^27 S on v5e (r4_profile F) — the whole θ≥1.25 skew cliff.  The
+    composite global sort runs at the megakernel rate (~132 ms at 2^27)
+    and the count pass is elementwise scans."""
+    comp_r = jnp.where(r_keys == MAXI32, MAXI32, r_keys * 2)
+    comp_s = skeys * 2 + 1
+    comp = jnp.concatenate([comp_r.reshape(-1), comp_s.reshape(-1)])
+    from ..ops.pallas.join_kernels import global_sort_tiles
+    comp2d = global_sort_tiles(to_tiles_2d_pow2(comp, tile), tile=tile,
+                               interpret=interpret)
+    n = comp.shape[0]
+    return _segmented_count_tagged(comp2d.reshape(-1)[:n])
+
+
 def _overflow_tile_matches(sorted2d, skeys_sorted, bad_tiles, off_np, end_np,
-                           tile: int) -> int:
+                           tile: int, interpret: bool = False) -> int:
     """Exact counts for band-overflow tiles in ONE batched program.
 
-    Three designs were measured at theta=1.25 (46 overflow tiles, 2^27):
-    per-tile probe_sorted over pow2-bucketed band segments re-sorted up
-    to 2^27 elements per tile and fenced per tile (3.5 s); per-tile
-    binary-search scans kept the segment zoo and serialized 46 latency-
-    bound gather chains (no better).  This version stacks the overflow
-    tiles (pow2-padded count -> ~log programs total) and runs a single
-    count_in_sorted against the FULL sorted S: no segment slicing, the
-    searchsorted gather rounds batch across tiles, and one host fence
-    reads the total.  Correctness is unchanged — the band restriction
-    was only ever an optimization, exact-key counts against all of S
-    are the same numbers.  Pad tiles are MAXI32 rows (excluded by
-    count_in_sorted)."""
+    Measured designs at theta=1.25 (46 overflow tiles, 2^27): per-tile
+    probe_sorted over pow2-bucketed band segments (3.5 s, fenced per
+    tile); batched count_in_sorted against full S (the searchsorted-scan
+    gathers alone cost ~3.6 s for 3M queries, r4_profile F).  Production
+    design: stack the overflow tiles (pow2-padded count → ~log programs
+    total) and run ONE Pallas tagged-sort count against the full sorted
+    S (~200 ms at 2^27) — the band restriction was only ever an
+    optimization; exact-key counts against all of S are the same numbers.
+    Pad tiles are MAXI32 rows (self-cancelling in the tagged count).
+
+    Mass overflow (> 1/8 of all tiles, e.g. a mis-planned run under
+    extreme skew) skips the gather entirely and counts ALL of R — the
+    gathered buffer stays bounded (ADVICE r3: the unbounded batched
+    gather was a memory/latency cliff)."""
     del off_np, end_np               # bands no longer restrict the count
     flat = sorted2d.reshape(-1)
     b = len(bad_tiles)
-    b_cap = max(1, 1 << (b - 1).bit_length()) if b else 0
-    if not b_cap:
+    if not b:
         return 0
-    idx = np.zeros((b_cap,), np.int32)
-    idx[:b] = np.asarray(bad_tiles, np.int32)
-    tiles2d = jax.vmap(
-        lambda t: jax.lax.dynamic_slice(flat, (t * tile,), (tile,)))(
-        jnp.asarray(idx))
-    valid = (jnp.arange(b_cap) < b)[:, None]
-    keys = jnp.where(valid, tiles2d, MAXI32).reshape(-1)
-    return int(probe_ops.count_in_sorted(keys, skeys_sorted))
+    n_tiles = sorted2d.shape[0] * sorted2d.shape[1] // tile
+    if b > max(4, n_tiles // 8):
+        keys = flat
+    else:
+        b_cap = max(1, 1 << (b - 1).bit_length())
+        idx = np.zeros((b_cap,), np.int32)
+        idx[:b] = np.asarray(bad_tiles, np.int32)
+        tiles2d = jax.vmap(
+            lambda t: jax.lax.dynamic_slice(flat, (t * tile,), (tile,)))(
+            jnp.asarray(idx))
+        valid = (jnp.arange(b_cap) < b)[:, None]
+        keys = jnp.where(valid, tiles2d, MAXI32).reshape(-1)
+    return int(tagged_count(keys, skeys_sorted, tile=tile,
+                            interpret=interpret))
 
 
 @jax.jit
@@ -213,7 +260,8 @@ def banded_probe(build: BandedBuild, skeys_sorted: jax.Array, *,
     if len(overflow_tiles):
         matches += _overflow_tile_matches(build.sorted2d, skeys_sorted,
                                           overflow_tiles, np.asarray(off),
-                                          np.asarray(end), tile)
+                                          np.asarray(end), tile,
+                                          interpret=interpret)
     return matches, len(overflow_tiles)
 
 
@@ -611,13 +659,17 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                                         interpret=interpret, s2d=s2d)
             return out._replace(violations=viols_i,
                                 overflow_tiles=overflow_i, resorted=True)
-        matches_i = int(probe_ops.probe_sorted(rkeys, skeys_sorted))
+        # skew-oblivious full count: one tagged megakernel sort (the
+        # searchsorted/tagged-int64 fallbacks both measured seconds here)
+        matches_i = int(tagged_count(rkeys, skeys_sorted, tile=tile,
+                                     interpret=interpret))
         return BandedJoinOutcome(matches_i, viols_i, overflow_i,
                                  int(bundle[3]), True, int(bundle[4]))
-    if overflow_i:                      # skew spill → XLA per-tile fallback
+    if overflow_i:                      # skew spill → batched tagged count
         bad_tiles = np.nonzero(np.asarray(bad))[0]
         matches_i += _overflow_tile_matches(sorted2d, skeys_sorted,
                                             bad_tiles, np.asarray(off),
-                                            np.asarray(end), tile)
+                                            np.asarray(end), tile,
+                                            interpret=interpret)
     return BandedJoinOutcome(matches_i, viols_i, overflow_i,
                              int(bundle[3]), resorted, int(bundle[4]))

@@ -304,6 +304,14 @@ def sort_tiles(keys2d, **kwargs):
 
 GSORT_BITS = 3
 
+# Phase-A blocks span 2^GSORT_PHASE_A_BITS tiles (2^19 elements at the
+# default tile): the in-VMEM bitonic network over the bigger block replaces
+# levels 1..3 of the cross-tile phase at IDENTICAL compare-exchange count
+# (the n·log² invariance) while deleting those levels' three full HBM
+# passes and their dispatch latency — measured 132→~112 ms at 2^27.
+# VMEM: 2 slots × 2 buffers × 2 MB = 8 MB of the ~16 MB budget.
+GSORT_PHASE_A_BITS = 3
+
 
 def _gsort_pass_kernel(in_hbm, out_hbm, buf, obuf, sem_in, sem_out, *,
                        n_tiles: int, rows_per_tile: int, bits: tuple,
@@ -360,21 +368,28 @@ def _gsort_pass_kernel(in_hbm, out_hbm, buf, obuf, sem_in, sem_out, *,
             in_dma(slot, gi, m).wait()
         v = buf[slot]
         if final_level:
-            asc = None
+            flip = None
         else:
             # direction bit: tile-index bit `level` of the group's base —
-            # equal across members; one traced scalar broadcast
+            # equal across members; one traced scalar broadcast.  Descending
+            # groups run in the FLIP representation (~v reverses order), so
+            # every stage uses the cheap ascending compare-exchange (5 ops
+            # instead of the 8-op dual-direction select — linops.
+            # bitonic_sort_keys has the same optimization)
             d = (jax.lax.rem(jax.lax.div(tile_of(gi, 0),
                                          jnp.int32(1 << level)), two) == 0)
-            asc = jnp.broadcast_to(d, (stack_rows, LANES))
+            flip = jnp.broadcast_to(~d, (stack_rows, LANES))
+            v = jnp.where(flip, ~v, v)
         for k, pos in enumerate(sorted(bits, reverse=True)):
             s = (1 << (g - 1 - k)) * rows_per_tile * LANES
-            v = linops._ce_keys(v, s, asc)
+            v = linops._ce_keys(v, s)
         if include_local:
             s = rows_per_tile * LANES // 2
             while s >= 1:
-                v = linops._ce_keys(v, s, asc)
+                v = linops._ce_keys(v, s)
                 s //= 2
+        if flip is not None:
+            v = jnp.where(flip, ~v, v)
 
         @pl.when(gi >= 2)
         def _():
@@ -432,12 +447,15 @@ def global_sort_tiles(keys2d, *, tile: int = 65536, interpret: bool = False):
     n_tiles = keys2d.shape[0] // rows_per_tile
     assert n_tiles & (n_tiles - 1) == 0, n_tiles
     levels = n_tiles.bit_length() - 1
-    # phase A: tile sort, direction alternating by tile parity
+    # phase A: in-VMEM sort of 2^pa_bits-tile blocks, direction alternating
+    # by BLOCK parity (= tile-index bit pa_bits — exactly the direction
+    # level pa_bits+1 expects)
+    pa_bits = min(GSORT_PHASE_A_BITS, levels)
     cur = call_with_big_stack(
-        _sort_tiles_jit, keys2d, tile=tile,
-        method="bitonic" if levels == 0 else "bitonic_alt",
+        _sort_tiles_jit, keys2d, tile=tile << pa_bits,
+        method="bitonic" if levels == pa_bits else "bitonic_alt",
         interpret=interpret)[0]
-    for j in range(1, levels + 1):
+    for j in range(pa_bits + 1, levels + 1):
         stage_bits = list(range(j - 1, -1, -1))
         chunks = [stage_bits[i:i + GSORT_BITS]
                   for i in range(0, len(stage_bits), GSORT_BITS)]

@@ -188,23 +188,47 @@ def bitonic_merge_keys(key):
 def bitonic_sort_keys(key, final_asc=None):
     """Full bitonic sort over linear order.  final_asc: None sorts
     ascending; a traced bool scalar sorts ascending iff it is True (the
-    per-tile direction hook for the global cross-tile network)."""
+    per-tile direction hook for the global cross-tile network).
+
+    Direction handling is the FLIP formulation: descending blocks store
+    bit-complemented values (~x reverses order with no overflow) so every
+    compare-exchange runs the cheap ascending form (5 vector ops: roll,
+    min, max, roll, select) instead of the 8-op dual-direction select.
+    Between levels only the positions whose direction changed re-flip
+    (one xor + one select on a static mask) — measured ~30% off the
+    phase-A tile sort, which is stage-bound on the VPU (r4_profile A/B:
+    0.434 ms per directional stage at 2^27)."""
     L = key.shape[0] * key.shape[1]
+    flipped = None     # static bool mask of positions currently storing ~x
     kk = 2
     while kk <= L:
         if kk < L:
-            # block of size kk sorts ascending iff bit kk of the index is 0
-            asc = ~_index_bit(key.shape, kk)
+            want_flip = _index_bit(key.shape, kk)     # descending blocks
             if final_asc is not None:
-                asc = asc == final_asc   # flip the whole network's parity
+                # network parity flip: ascending iff bit clear == final_asc
+                want_flip = want_flip == jnp.broadcast_to(final_asc,
+                                                          key.shape)
         else:
-            asc = (None if final_asc is None
-                   else jnp.broadcast_to(final_asc, key.shape))
+            want_flip = (None if final_asc is None
+                         else jnp.broadcast_to(~final_asc, key.shape))
+        if want_flip is None:
+            if flipped is not None:
+                key = jnp.where(flipped, ~key, key)
+                flipped = None
+        elif flipped is None:
+            key = jnp.where(want_flip, ~key, key)
+            flipped = want_flip
+        else:
+            change = flipped != want_flip
+            key = jnp.where(change, ~key, key)
+            flipped = want_flip
         s = kk // 2
         while s >= 1:
-            key = _ce_keys(key, s, asc)
+            key = _ce_keys(key, s)
             s //= 2
         kk *= 2
+    if flipped is not None:      # final_asc traced: un-complement desc tiles
+        key = jnp.where(flipped, ~key, key)
     return key
 
 

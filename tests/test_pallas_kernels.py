@@ -334,3 +334,32 @@ def test_fused_sort_count_matches_two_kernel():
                               np.asarray(flags_r[:, 0]))
         assert np.array_equal(np.asarray(stats_f[:, :3]),
                               np.asarray(stats_r[:, :3]))
+
+
+def test_tagged_count_matches_probe_sorted():
+    """The Pallas tagged-sort count (the skew repair engine) must agree
+    with the XLA tagged formula on duplicate-heavy data, including MAXI32
+    padding entries on the R side (they self-cancel)."""
+    from htm_hashjoin_tpu.joins.pallas_backend import tagged_count
+    from htm_hashjoin_tpu.ops.probe import probe_sorted
+    r = zipf_keys(N, N // 16, 1.25, 3)
+    s = jnp.sort(zipf_keys(N, N // 16, 1.25, 4))
+    want = int(probe_sorted(r, s))
+    got = int(tagged_count(r, s, tile=2048, interpret=True))
+    assert got == want
+    # R-side MAXI32 rows are padding and contribute nothing
+    from htm_hashjoin_tpu.joins.pallas_backend import MAXI32
+    r_pad = jnp.concatenate([r, jnp.full((37,), MAXI32, jnp.int32)])
+    assert int(tagged_count(r_pad, s, tile=2048, interpret=True)) == want
+
+
+def test_mass_overflow_batched_gather_is_capped():
+    """ADVICE r3: >1/8 of tiles overflowing must NOT gather (near-)all of R
+    into the padded buffer — the repair counts the full relation directly."""
+    from htm_hashjoin_tpu.joins import pallas_backend as pb
+    r = shuffled_keys(N, 5)
+    build = pb.banded_build(r, tile=2048, interpret=True)
+    s = sorted_keys(N)
+    m, ovf = pb.banded_probe(build, s, interpret=True)
+    assert m == N
+    assert ovf > (N // 2048) // 8     # mass overflow regime reached

@@ -410,6 +410,54 @@ def adaptive_window_estimate(rkeys: jax.Array, cfg: JoinConfig,
             "dupFraction": dups / max(1, k * chunk)}
 
 
+def adaptive_guess_plan(cfg: JoinConfig, probing: bool = True) -> BandedPlan:
+    """The fused dial's OPTIMISTIC first plan (VERDICT r3 #7: the sniff
+    fence must not precede the engine).  The sniff program is enqueued
+    WITH the join and both ride one readback; this guess decides what runs
+    meanwhile:
+
+      * declared plan already optimistic (window ≤ 512) or certified
+        sorted → trust it — its violation counters catch a lying config;
+      * anything wider (wide-band, sort-first) → downgrade to the WIDEST
+        optimistic sorter (blocks-512): exact for any true window ≤ 512
+        at a fraction of the sort path's cost.  If the data really is
+        globally disordered, the violation count in the shared readback
+        triggers the repair run, whose plan THEN uses the sniffed
+        displacement (the dial) — the same abort→replan protocol as every
+        other optimistic assumption in the engine."""
+    base = pallas_plan(cfg, probing=probing)
+    if base.presorted or (base.window is not None and base.window <= 512
+                          and not base.presort):
+        return base
+    return BandedPlan(512, False, False, None)
+
+
+def sniff_enqueue(rkeys: jax.Array, cfg: JoinConfig):
+    """Enqueue the displacement sniff WITHOUT a fence.  Returns
+    (device_stats[2] = [maxDisplacement, sampleDuplicates], chunk, k) —
+    stack the stats into the join's own readback bundle."""
+    n = int(rkeys.shape[0])
+    chunk = min(cfg.sniff_chunk, max(8, n // max(1, cfg.sniff_rounds)))
+    k = max(1, min(cfg.sniff_rounds, n // chunk))
+    return _sniff_profile(rkeys, chunk, k), chunk, k
+
+
+def sniff_stats_dict(mx: int, dups: int, chunk: int, k: int) -> dict:
+    """The adaptive_window_estimate stats shape for a sniff whose readback
+    rode the engine fence (sniffTimeUs 0 — no separate host round trip)."""
+    return {"maxDisplacement": mx, "sampleDuplicates": dups,
+            "sniffTimeUs": 0.0, "sniffRodeEngineFence": True,
+            "sampleChunks": k, "sampleChunkSize": chunk,
+            "dupFraction": dups / max(1, k * chunk)}
+
+
+def dial_window(mx: int, chunk: int) -> int:
+    """The dial decision (HTMHashBuild.hpp:208-210 analog): in-chunk
+    displacement saturating toward the chunk size means disorder beyond
+    the sample's reach — escalate to the sort-first plan."""
+    return (1 << 30) if mx >= chunk // 2 else mx
+
+
 def pallas_plan(cfg: JoinConfig, probing: bool = True,
                 window_override: Optional[int] = None) -> BandedPlan:
     """Plan selection for the banded engine, by locality regime:

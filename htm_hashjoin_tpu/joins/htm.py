@@ -44,17 +44,132 @@ def _adaptive_pallas_plan(r: Relation, cfg: JoinConfig, probing: bool):
     sample displacement replaces the config-declared window in sorter
     selection (HTMHashBuild.hpp:204-211 re-expressed — the observed
     failure statistic changes WHICH program runs, not just the stats).
-    Returns (plan, sniff_stats)."""
+    Returns (plan, sniff_stats).
+
+    This SNIFF-FIRST variant pays a ~25 ms host fence before the engine
+    runs (the tunnel round trip); the production adaptive paths use the
+    FUSED protocol instead (_htm_join_pallas_adaptive), where the sniff
+    rides the engine's own readback.  Kept for the TM_TRACK build path,
+    whose per-tile cause vectors need the plan up front."""
     est = adaptive_window_estimate(r.keys, cfg)
     mx, chunk = est["maxDisplacement"], est["sampleChunkSize"]
-    # in-chunk displacement saturating toward the chunk size means the
-    # disorder extends beyond the sample's reach — escalate to the
-    # sort-first plan instead of trusting an underestimate (the tSize-
-    # halving branch of HTMHashBuild.hpp:208-210)
-    window = (1 << 30) if mx >= chunk // 2 else mx
+    from .common import dial_window
+    window = dial_window(mx, chunk)
     est["windowEstimate"] = None if window >= (1 << 30) else window
     plan = pallas_plan(cfg, probing=probing, window_override=window)
     return plan, est
+
+
+def _dialed_plan_extra(plan, est: dict) -> dict:
+    return {"window": plan.window, "presort": plan.presort, **est}
+
+
+def _htm_join_pallas_adaptive(r: Relation, s: Relation,
+                              cfg: JoinConfig) -> JoinMetrics:
+    """HTM_ADAPT with the sniff FOLDED into the engine chain (VERDICT r3
+    #7): the displacement sniff and the join under an optimistic guess
+    plan are enqueued back-to-back with NO host sync; one readback
+    returns match/violation/conservation AND the sniff statistics.  On
+    the clean path (guess exact — violations and band flags zero) the
+    adaptive run costs the engine run plus nothing.  A dirty readback
+    replans from the sniffed displacement (the dial) and reruns via the
+    self-repairing pipeline — the HTM abort→retry protocol, with the
+    dial riding the abort instead of a dedicated fence."""
+    import time
+
+    import numpy as np
+
+    from .common import (adaptive_guess_plan, dial_window, sniff_enqueue,
+                         sniff_stats_dict)
+    from .pallas_backend import (BandedJoinOutcome, banded_join_pipelined,
+                                 enqueue_full_join)
+
+    interpret = jax.default_backend() == "cpu"
+    sort_s = not s.assume_sorted
+    t0 = time.perf_counter()
+    sniff_dev, chunk, k = sniff_enqueue(r.keys, cfg)       # async
+    guess = adaptive_guess_plan(cfg, probing=True)
+    res = enqueue_full_join(r.keys, s.keys, locality_window=guess.window,
+                            presort=guess.presort, presorted=guess.presorted,
+                            narrow=guess.narrow, sort_s=sort_s,
+                            unique_both=keys_unique_both(cfg),
+                            interpret=interpret)
+    bundle = np.asarray(jnp.concatenate(
+        [jnp.stack(res[:5]).astype(jnp.int64),
+         sniff_dev.astype(jnp.int64)]))                    # the ONE fence
+    matches_i, viols_i, flagged, out_sum, in_sum, mx, dups = (
+        int(x) for x in bundle)
+    est = sniff_stats_dict(mx, dups, chunk, k)
+    window = dial_window(mx, chunk)
+    est["windowEstimate"] = None if window >= (1 << 30) else window
+    if viols_i or flagged:
+        # abort → the dialed repair run (self-repairing pipeline: it
+        # handles its own overflow/mass-replan internally)
+        plan = pallas_plan(cfg, window_override=window)
+        out = banded_join_pipelined(r.keys, s.keys,
+                                    locality_window=plan.window,
+                                    presort=plan.presort,
+                                    presorted=plan.presorted,
+                                    narrow=plan.narrow, sort_s=sort_s,
+                                    unique_both=keys_unique_both(cfg),
+                                    interpret=interpret)
+        out = out._replace(violations=max(out.violations, viols_i),
+                           resorted=True)
+    else:
+        plan = guess
+        out = BandedJoinOutcome(matches_i, 0, 0, out_sum, False, in_sum)
+    elapsed_us = (time.perf_counter() - t0) * 1e6
+    m = pallas_metrics(cfg, "htm", out, elapsed_us, out.matches, plan=plan,
+                       sort_s=sort_s)
+    m.extra["adaptivePlan"] = _dialed_plan_extra(plan, est)
+    m.extra["adaptiveTransactionSizeFinal"] = max(1, plan.window or 4096)
+    maybe_pipeline_timing(m, cfg, plan, r, s, out, interpret)
+    return m
+
+
+def _htm_build_pallas_adaptive(cfg: JoinConfig, r: Relation) -> JoinMetrics:
+    """Build-only fused dial: sniff + optimistic build share one readback
+    (see _htm_join_pallas_adaptive)."""
+    import time
+
+    import numpy as np
+
+    from .common import (adaptive_guess_plan, dial_window, sniff_enqueue,
+                         sniff_stats_dict)
+    from .pallas_backend import (BandedJoinOutcome, banded_build_pipelined,
+                                 enqueue_banded_build)
+
+    interpret = jax.default_backend() == "cpu"
+    t0 = time.perf_counter()
+    sniff_dev, chunk, k = sniff_enqueue(r.keys, cfg)       # async
+    guess = adaptive_guess_plan(cfg, probing=False)
+    head = enqueue_banded_build(r.keys, locality_window=guess.window,
+                                presort=guess.presort,
+                                presorted=guess.presorted,
+                                interpret=interpret)
+    bundle = np.asarray(jnp.concatenate(
+        [head, sniff_dev.astype(jnp.int64)]))              # the ONE fence
+    viols_i, out_sum, in_sum, mx, dups = (int(x) for x in bundle)
+    est = sniff_stats_dict(mx, dups, chunk, k)
+    window = dial_window(mx, chunk)
+    est["windowEstimate"] = None if window >= (1 << 30) else window
+    if viols_i:
+        plan = pallas_plan(cfg, probing=False, window_override=window)
+        out = banded_build_pipelined(r.keys, locality_window=plan.window,
+                                     presort=plan.presort,
+                                     presorted=plan.presorted,
+                                     interpret=interpret)
+        out = out._replace(violations=max(out.violations, viols_i),
+                           resorted=True)
+    else:
+        plan = guess
+        out = BandedJoinOutcome(0, 0, 0, out_sum, False, in_sum)
+    elapsed_us = (time.perf_counter() - t0) * 1e6
+    m = pallas_metrics(cfg, "htm", out, elapsed_us, None, plan=plan)
+    m.extra["adaptivePlan"] = _dialed_plan_extra(plan, est)
+    m.extra["adaptiveTransactionSizeFinal"] = max(1, plan.window or 4096)
+    maybe_pipeline_timing(m, cfg, plan, r, None, out, interpret)
+    return m
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -174,6 +289,11 @@ def _htm_build_pallas(cfg: JoinConfig, r: Relation) -> JoinMetrics:
 
     sniff = None
     if cfg.adaptive:
+        if not cfg.track:
+            # production dial: sniff rides the engine readback (one fence)
+            return _htm_build_pallas_adaptive(cfg, r)
+        # TM_TRACK needs the plan before the per-tile cause vectors are
+        # wired into the readback — keep the sniff-first variant there
         plan, sniff = _adaptive_pallas_plan(r, cfg, probing=False)
     else:
         plan = pallas_plan(cfg, probing=False)
@@ -228,9 +348,9 @@ def _htm_join_pallas(r: Relation, s: Relation, cfg: JoinConfig) -> JoinMetrics:
 
     sniff = None
     if cfg.adaptive:
-        plan, sniff = _adaptive_pallas_plan(r, cfg, probing=True)
-    else:
-        plan = pallas_plan(cfg)
+        # production dial: sniff rides the engine readback (one fence)
+        return _htm_join_pallas_adaptive(r, s, cfg)
+    plan = pallas_plan(cfg)
     interpret = jax.default_backend() == "cpu"
     t0 = time.perf_counter()
     # permutation distributions certify both sides unique (S is generated

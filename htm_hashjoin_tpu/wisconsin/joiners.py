@@ -163,6 +163,54 @@ def _keys_absmax(a, b):
 
 _I32_COMP_LIMIT = 1 << 30        # |key|*2+1 must stay in int32
 
+# Dense-key rank table: eligible when build keys lie in [0, K] with K small
+# enough that a (K+1)-entry table is cheap (≤ 16x the build side and ≤ 2^26
+# entries = 512 MB packed).  The canonical multijoin workloads qualify:
+# 16M build keys drawn 1..16M (wisconsin-src/datagen/genbuild.py).
+_DENSE_LIMIT = 1 << 26
+
+
+@jax.jit
+def _dense_rank_table(keys: jax.Array, zeros_l: jax.Array) -> jax.Array:
+    """Packed per-key bounds over the key-sorted build order: entry k holds
+    (cum<<31 | cnt) where cnt = multiplicity of key k and cum = #build keys
+    <= k — so lo = cum-cnt, hi = cum index the sorted build side.  One
+    bincount scatter + one cumsum at build time replaces the per-probe
+    tagged sort entirely (the reference's FK probes hash into exactly such
+    a directory, hashtable.h:24-50).  ``zeros_l`` fixes the table length
+    (next_pow2 of the key range — bounded recompiles)."""
+    cnt = zeros_l.at[keys].add(1, mode="drop")
+    cum = jnp.cumsum(cnt, dtype=jnp.int32)
+    return cum.astype(jnp.int64) << 31 | cnt.astype(jnp.int64)
+
+
+@jax.jit
+def _dense_bounds(table: jax.Array, probe_keys: jax.Array):
+    """Match ranges via ONE packed gather from the dense rank table — no
+    sort, no scatter.  Out-of-range probe keys match nothing.  Returns
+    (lo, hi, [total, all_unit]) with the two scalars stacked so the caller
+    pays a single fence; all_unit certifies every probe count == 1 (the FK
+    fast path: expansion becomes the identity)."""
+    k_max = table.shape[0] - 1
+    idx = jnp.clip(probe_keys, 0, k_max).astype(jnp.int32)
+    valid = (probe_keys >= 0) & (probe_keys <= k_max)
+    packed = table[idx]
+    cnt = jnp.where(valid, (packed & 0x7FFFFFFF).astype(jnp.int32), 0)
+    hi = jnp.where(valid, (packed >> 31).astype(jnp.int32), 0)
+    lo = hi - cnt
+    total = jnp.sum(cnt.astype(jnp.int64))
+    all_unit = jnp.all(cnt == 1).astype(jnp.int64)
+    return lo, hi, jnp.stack([total, all_unit])
+
+
+@jax.jit
+def _build_key_stats(keys: jax.Array, occ: jax.Array) -> jax.Array:
+    """[max bucket occupancy, min key, max key] in ONE readback (three
+    separate int() calls would cost three ~25 ms tunnel fences)."""
+    return jnp.stack([jnp.max(occ).astype(jnp.int64),
+                      jnp.min(keys).astype(jnp.int64),
+                      jnp.max(keys).astype(jnp.int64)])
+
 
 def _match_bounds(sorted_keys: jax.Array, probe_keys: jax.Array,
                   key_bound: Optional[int] = None):
@@ -236,7 +284,8 @@ class BaseJoiner:
     # -- shared emit ---------------------------------------------------------
 
     def _emit(self, probe_table: Table, lo, hi, total: int,
-              build_payload_cols: List, probe_row_of=None) -> Table:
+              build_payload_cols: List, probe_row_of=None,
+              unit_counts: bool = False) -> Table:
         """Materialize output rows: sel1 payload gathered from the build
         structure, sel2 columns gathered from the probe side.
 
@@ -248,9 +297,19 @@ class BaseJoiner:
         the valid prefix."""
         total_i = int(total)
         cap = max(8, next_pow2(total_i))
-        probe_idx, build_rank, _ = _expand_matches(lo, hi, cap)
-        b_rank = jnp.where(build_rank >= 0, build_rank, 0)
-        p_idx = jnp.where(probe_idx >= 0, probe_idx, 0)
+        if unit_counts and total_i:
+            # every probe row matches exactly once (the FK invariant,
+            # certified on device by the bounds pass): expansion is the
+            # identity — no scatter-max/cummax pass over the output
+            k = jnp.arange(cap, dtype=jnp.int32)
+            kc = jnp.minimum(k, jnp.int32(total_i - 1))
+            valid = k < total_i
+            p_idx = jnp.where(valid, kc, 0)
+            b_rank = jnp.where(valid, lo[kc], 0)
+        else:
+            probe_idx, build_rank, _ = _expand_matches(lo, hi, cap)
+            b_rank = jnp.where(build_rank >= 0, build_rank, 0)
+            p_idx = jnp.where(probe_idx >= 0, probe_idx, 0)
         if probe_row_of is not None:
             p_idx = jnp.asarray(probe_row_of)[p_idx]
         b_rank_np = None
@@ -316,15 +375,31 @@ class HashJoiner(BaseJoiner):
         table = parts.table
         keys = jnp.asarray(table.key_column(self.ja1))
         buckets = self.hashfn.hash(keys)
-        order = jnp.argsort(keys.astype(jnp.int64), stable=True)
-        self._build_keys_sorted = jnp.asarray(keys, keys.dtype)[order]
-        self._build_perm = order               # StorePointer: the "pointers"
-        self._build_table = table
         occ = jnp.bincount(buckets, length=self.hashfn.buckets)
         self._bucket_occ = occ        # ProbeSteal's cost model (see probe)
         self.stats.build_rows = table.num_rows
         self.stats.bucket_count = self.hashfn.buckets
-        self.stats.max_bucket_occupancy = int(jnp.max(occ)) if table.num_rows else 0
+        self._dense_tbl = None
+        self._key_bound = _I32_COMP_LIMIT
+        if table.num_rows:
+            st = np.asarray(_build_key_stats(keys, occ))  # ONE fence
+            max_occ, kmin, kmax = (int(x) for x in st)
+            self.stats.max_bucket_occupancy = max_occ
+            self._key_bound = max(abs(kmin), abs(kmax))
+            if keys.dtype.itemsize > 4 and self._key_bound < (1 << 31):
+                # int32 keys sort/pack ~10x faster than int64 on TPU
+                keys = keys.astype(jnp.int32)
+            if (0 <= kmin and kmax < _DENSE_LIMIT
+                    and kmax < max(16 * table.num_rows, 1 << 20)):
+                tbl_len = next_pow2(kmax + 2)
+                self._dense_tbl = _dense_rank_table(
+                    keys, jnp.zeros((tbl_len,), jnp.int32))
+        else:
+            self.stats.max_bucket_occupancy = 0
+        order = jnp.argsort(keys, stable=True)
+        self._build_keys_sorted = keys[order]
+        self._build_perm = order               # StorePointer: the "pointers"
+        self._build_table = table
         if self.storage == "copy":
             # early materialization: gather payload columns into build order
             # (numeric on device, strings host-side)
@@ -337,6 +412,18 @@ class HashJoiner(BaseJoiner):
             self._build_payload = None
 
     # -- probe ---------------------------------------------------------------
+
+    def _bounds(self, probe_keys):
+        """Match-range route: the dense rank table (one packed gather —
+        no sort, no scatter) when the build certified a dense key range,
+        the tagged-sort merge otherwise.  Returns (lo, hi, total,
+        all_unit) with one device fence."""
+        if self._dense_tbl is not None:
+            lo, hi, head = _dense_bounds(self._dense_tbl, probe_keys)
+            tot = np.asarray(head)
+            return lo, hi, int(tot[0]), bool(tot[1])
+        lo, hi, t = _match_bounds(self._build_keys_sorted, probe_keys)
+        return lo, hi, int(t), False
 
     def _schedule_bounds(self, parts: PartitionedTable, probe_keys,
                          n: int) -> "tuple[np.ndarray, str]":
@@ -379,22 +466,37 @@ class HashJoiner(BaseJoiner):
                  if b > a]
         pad_len = max(8, next_pow2(max(b - a for a, b in units)))
         pad = jnp.full((pad_len,), -1, probe_keys.dtype)   # matches nothing
-        # certify the int32 composite ONCE for the whole schedule (a
-        # per-unit certification readback would add a ~25 ms fence per unit)
-        kb = (int(_keys_absmax(self._build_keys_sorted, probe_keys))
-              if probe_keys.dtype.itemsize <= 4 else _I32_COMP_LIMIT)
+        if self._dense_tbl is not None:
+            def unit_bounds(seg):
+                lo_u, hi_u, head = _dense_bounds(self._dense_tbl, seg)
+                return lo_u, hi_u, head
+        else:
+            # certify the int32 composite ONCE for the whole schedule (a
+            # per-unit certification readback would add ~25 ms per unit)
+            kb = (int(_keys_absmax(self._build_keys_sorted, probe_keys))
+                  if probe_keys.dtype.itemsize <= 4 else _I32_COMP_LIMIT)
+
+            def unit_bounds(seg):
+                lo_u, hi_u, t_u = _match_bounds(self._build_keys_sorted, seg,
+                                                key_bound=kb)
+                return lo_u, hi_u, jnp.stack([t_u, jnp.zeros((), jnp.int64)])
         # warm-up on the shared unit shape: compile cost must not land on
         # the first unit's measured time (the reference's timers likewise
         # start after thread setup, main.cpp:99-109)
-        int(_match_bounds(self._build_keys_sorted, pad, key_bound=kb)[2])
+        np.asarray(unit_bounds(pad)[2])
         los, his, times = [], [], []
         total = 0
+        all_unit = self._dense_tbl is not None
         for a, b in units:
             seg = jax.lax.dynamic_update_slice(pad, probe_keys[a:b], (0,))
             t0 = time.perf_counter()
-            lo_u, hi_u, t_u = _match_bounds(self._build_keys_sorted, seg,
-                                            key_bound=kb)
-            total += int(t_u)               # readback = the unit's fence
+            lo_u, hi_u, head = unit_bounds(seg)
+            hd = np.asarray(head)           # readback = the unit's fence
+            total += int(hd[0])
+            # pad keys (-1) match nothing, so a padded unit can never
+            # certify all-unit — only a schedule with zero pad could;
+            # unit emit stays on the full-probe (non-scheduled) path
+            all_unit = False
             times.append((time.perf_counter() - t0) * 1e6)
             los.append(lo_u[:b - a])
             his.append(hi_u[:b - a])
@@ -415,7 +517,7 @@ class HashJoiner(BaseJoiner):
             "worker_micros": worker_us,
             "imbalance": ss["imbalance"],
         }
-        return lo, hi, total
+        return lo, hi, total, all_unit
 
     def probe(self, parts: PartitionedTable) -> Table:
         """ProbeIsPart walks this worker's partitions; ProbeSteal
@@ -429,7 +531,8 @@ class HashJoiner(BaseJoiner):
         self.stats.probe_rows = table.num_rows
 
         if (self.partition_probe or self.steal) and n:
-            lo, hi, total = self._scheduled_probe(parts, probe_keys, n)
+            lo, hi, total, all_unit = self._scheduled_probe(parts,
+                                                            probe_keys, n)
             # predicted per-partition costs stay observable alongside the
             # measured schedule (the old stats surface)
             counts = (hi - lo).astype(jnp.int64) + 1
@@ -440,19 +543,16 @@ class HashJoiner(BaseJoiner):
             self.stats.partition_probe_costs = np.asarray(cum[ends] -
                                                           cum[starts])
         else:
-            lo, hi, total = _match_bounds(self._build_keys_sorted,
-                                          probe_keys)
-            total = int(total)
+            lo, hi, total, all_unit = self._bounds(probe_keys)
 
         if self.storage == "copy":
             payload_cols = self._build_payload
-            out = self._emit(table, lo, hi, total, payload_cols)
         else:
             # late materialization: emit gathers through the row pointers
             payload_cols = [jnp.asarray(self._build_table.column(c))[self._build_perm]
                             for c in self.sel1]
-            out = self._emit(table, lo, hi, total, payload_cols)
-        return out
+        return self._emit(table, lo, hi, total, payload_cols,
+                          unit_counts=all_unit)
 
 
 # ---------------------------------------------------------------------------

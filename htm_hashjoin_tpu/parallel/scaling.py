@@ -53,8 +53,7 @@ def _phase_fns(mesh: Mesh, n_r: int, n_s: int, *,
     cap_s = max(8, int(capacity_factor * n_s / (ndev * ndev)) + 8)
     shard = max(n_r, n_s) // ndev
     hier = mesh.devices.ndim == 2
-    res_cap = (int(capacity_factor * shard) + 8 if hier else shard) \
-        if residual_repair else 0
+    res_cap = shard if residual_repair else 0
     if hier:
         axis = tuple(mesh.axis_names)
         hosts, chips = mesh.devices.shape
@@ -67,13 +66,11 @@ def _phase_fns(mesh: Mesh, n_r: int, n_s: int, *,
         s_active = sk != S_PAD
         if hier:
             r_recv, r_res, r_ovf = _exchange_hier(
-                rk, r_active, ndev, hosts, chips, cap_r * hosts,
-                cap_r * chips, R_PAD, host_axis=axis[0], chip_axis=axis[1],
-                res_cap=res_cap)
+                rk, r_active, ndev, hosts, chips, cap_r, R_PAD,
+                host_axis=axis[0], chip_axis=axis[1], res_cap=res_cap)
             s_recv, s_res, s_ovf = _exchange_hier(
-                sk, s_active, ndev, hosts, chips, cap_s * hosts,
-                cap_s * chips, S_PAD, host_axis=axis[0], chip_axis=axis[1],
-                res_cap=res_cap)
+                sk, s_active, ndev, hosts, chips, cap_s, S_PAD,
+                host_axis=axis[0], chip_axis=axis[1], res_cap=res_cap)
         else:
             rbuf, r_res, r_ovf, _ = _bucketize(rk, r_active, ndev, cap_r,
                                                R_PAD, res_cap=res_cap)

@@ -1,0 +1,57 @@
+"""Reference-scale multijoin evidence (VERDICT r3 missing #3): the 6
+canonical confs at the reference's own 16M-build ⋈ 256M-probe workload
+(mc/wisconsin-src/datagen/generate.sh semantics — genbuild.py writes
+R_16M_PK, genprobe.py S_256M_FK; our confs carry the same sizes and the
+driver generates on device) on the real TPU chip.
+
+Each conf runs twice: rep 0 pays compiles, rep 1 is the warm number.
+Writes one JSON line per conf to --out (default
+experiments/results_tpu27r4/multijoin_fullscale_log).
+"""
+
+import sys; sys.path.insert(0, "/root/repo")  # noqa: E702
+import argparse
+import json
+import os
+
+from htm_hashjoin_tpu.wisconsin.conf import parse_conf
+from htm_hashjoin_tpu.wisconsin.driver import run_multijoin
+
+CONFS = ("no_partition", "independent", "parallel", "radix1", "steal",
+         "flatmem")
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out",
+                   default="experiments/results_tpu27r4/"
+                           "multijoin_fullscale_log")
+    p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--confs", nargs="*", default=list(CONFS))
+    a = p.parse_args()
+    os.makedirs(os.path.dirname(a.out), exist_ok=True)
+    lines = []
+    for name in a.confs:
+        conf = parse_conf(f"htm_hashjoin_tpu/wisconsin/conf/{name}.conf")
+        res = None
+        for rep in range(a.reps):
+            res = run_multijoin(conf)
+        line = json.loads(res.to_json_line())
+        line["conf"] = name
+        line["scale"] = "reference (16M build x 256M probe)"
+        line["rep"] = f"warm ({a.reps} of {a.reps}; first rep compiles)"
+        probe_s = line["probeTimeNs"] / 1e9
+        line["probeMtuplesPerSec"] = round(
+            line["probeRows"] / probe_s / 1e6, 1) if probe_s else None
+        print(json.dumps(line), flush=True)
+        assert line["outputRows"] == conf["probe"]["relation-size"], (
+            name, line)
+        lines.append(line)
+    with open(a.out, "w") as f:
+        for line in lines:
+            f.write(json.dumps(line) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

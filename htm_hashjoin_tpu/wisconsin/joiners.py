@@ -171,32 +171,33 @@ _DENSE_LIMIT = 1 << 26
 
 
 @jax.jit
-def _dense_rank_table(keys: jax.Array, zeros_l: jax.Array) -> jax.Array:
-    """Packed per-key bounds over the key-sorted build order: entry k holds
-    (cum<<31 | cnt) where cnt = multiplicity of key k and cum = #build keys
-    <= k — so lo = cum-cnt, hi = cum index the sorted build side.  One
-    bincount scatter + one cumsum at build time replaces the per-probe
-    tagged sort entirely (the reference's FK probes hash into exactly such
-    a directory, hashtable.h:24-50).  ``zeros_l`` fixes the table length
-    (next_pow2 of the key range — bounded recompiles)."""
+def _dense_rank_table(keys: jax.Array, zeros_l: jax.Array):
+    """Per-key bounds directory over the key-sorted build order: cnt[k] =
+    multiplicity of key k, cum[k] = #build keys <= k — so lo = cum-cnt,
+    hi = cum index the sorted build side.  One bincount scatter + one
+    cumsum at build time replaces the per-probe tagged sort entirely (the
+    reference's FK probes hash into exactly such a directory,
+    hashtable.h:24-50).  ``zeros_l`` fixes the table length (next_pow2 of
+    the key range — bounded recompiles).  Two int32 tables, not one packed
+    int64: the packed gather's 8-byte temp at a 256M-row probe is a 2 GB
+    HBM spike the 16 GB chip cannot spare alongside the output buffers."""
     cnt = zeros_l.at[keys].add(1, mode="drop")
     cum = jnp.cumsum(cnt, dtype=jnp.int32)
-    return cum.astype(jnp.int64) << 31 | cnt.astype(jnp.int64)
+    return cum, cnt
 
 
 @jax.jit
-def _dense_bounds(table: jax.Array, probe_keys: jax.Array):
-    """Match ranges via ONE packed gather from the dense rank table — no
-    sort, no scatter.  Out-of-range probe keys match nothing.  Returns
+def _dense_bounds(cum: jax.Array, cnt_tbl: jax.Array, probe_keys: jax.Array):
+    """Match ranges via two int32 gathers from the dense rank directory —
+    no sort, no scatter.  Out-of-range probe keys match nothing.  Returns
     (lo, hi, [total, all_unit]) with the two scalars stacked so the caller
     pays a single fence; all_unit certifies every probe count == 1 (the FK
     fast path: expansion becomes the identity)."""
-    k_max = table.shape[0] - 1
+    k_max = cum.shape[0] - 1
     idx = jnp.clip(probe_keys, 0, k_max).astype(jnp.int32)
     valid = (probe_keys >= 0) & (probe_keys <= k_max)
-    packed = table[idx]
-    cnt = jnp.where(valid, (packed & 0x7FFFFFFF).astype(jnp.int32), 0)
-    hi = jnp.where(valid, (packed >> 31).astype(jnp.int32), 0)
+    cnt = jnp.where(valid, cnt_tbl[idx], 0)
+    hi = jnp.where(valid, cum[idx], 0)
     lo = hi - cnt
     total = jnp.sum(cnt.astype(jnp.int64))
     all_unit = jnp.all(cnt == 1).astype(jnp.int64)
@@ -321,10 +322,17 @@ class BaseJoiner:
                 out_cols.append(col[b_rank_np])       # strings gather on host
             else:
                 out_cols.append(jnp.asarray(col)[b_rank])
+        identity_probe = (unit_counts and total_i and probe_row_of is None)
         for c in self.sel2:
             col = probe_table.column(c)
             if isinstance(col, np.ndarray) and col.dtype == object:
                 out_cols.append(col[np.asarray(p_idx[:total_i])])
+            elif identity_probe:
+                # all-unit FK emit: p_idx is the identity, so the probe
+                # column IS the output column — skip the 2^28-element
+                # gather (and its HBM temp) entirely
+                colj = jnp.asarray(col)
+                out_cols.append(jnp.pad(colj, (0, cap - colj.shape[0])))
             else:
                 out_cols.append(jnp.asarray(col)[p_idx])
         self.stats.output_rows = total_i
@@ -419,7 +427,7 @@ class HashJoiner(BaseJoiner):
         the tagged-sort merge otherwise.  Returns (lo, hi, total,
         all_unit) with one device fence."""
         if self._dense_tbl is not None:
-            lo, hi, head = _dense_bounds(self._dense_tbl, probe_keys)
+            lo, hi, head = _dense_bounds(*self._dense_tbl, probe_keys)
             tot = np.asarray(head)
             return lo, hi, int(tot[0]), bool(tot[1])
         lo, hi, t = _match_bounds(self._build_keys_sorted, probe_keys)
@@ -468,7 +476,7 @@ class HashJoiner(BaseJoiner):
         pad = jnp.full((pad_len,), -1, probe_keys.dtype)   # matches nothing
         if self._dense_tbl is not None:
             def unit_bounds(seg):
-                lo_u, hi_u, head = _dense_bounds(self._dense_tbl, seg)
+                lo_u, hi_u, head = _dense_bounds(*self._dense_tbl, seg)
                 return lo_u, hi_u, head
         else:
             # certify the int32 composite ONCE for the whole schedule (a

@@ -167,16 +167,27 @@ class WriteTable(Table):
             keys = G.pk_keys(relation_size, seed)
         else:
             keys = G.fk_from_pk_keys(relation_size, alphabet_size, seed)
+        # Physical storage narrows LONG columns to int32 when the generated
+        # value range certifies it (keys <= alphabet, payload rid <= size):
+        # the logical schema type stays 'long' (save()/np.asarray upcast),
+        # but at the reference-scale 256M-row workload the int64 columns
+        # alone would cost 4 GB of the chip's 16 GB HBM — columnar width
+        # reduction is the TPU-native analog of the reference's --enable-
+        # key8B narrow-tuple build (mc/configure.ac:43-50, 8B vs 16B
+        # tuples).
+        i32_ok = max(relation_size, alphabet_size) < (1 << 31)
         cols = []
         for i, t in enumerate(self.schema.types):
+            narrow = (jnp.int32 if i32_ok and t != ColumnType.DOUBLE
+                      else t.dtype)
             if i == 0:
-                cols.append(keys.astype(t.dtype) if t != ColumnType.STRING
+                cols.append(keys.astype(narrow) if t != ColumnType.STRING
                             else np.asarray(keys).astype(str).astype(object))
             elif t == ColumnType.STRING:
                 cols.append(np.arange(1, relation_size + 1).astype(str)
                             .astype(object))
             else:
-                cols.append(jnp.arange(1, relation_size + 1, dtype=t.dtype))
+                cols.append(jnp.arange(1, relation_size + 1, dtype=narrow))
         self.append_batch(cols)
         self.finalize()
 

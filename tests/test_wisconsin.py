@@ -625,9 +625,9 @@ def test_dense_bounds_route_matches_tagged_sort_route():
     rng = np.random.default_rng(11)
     build = rng.integers(0, 300, size=512).astype(np.int32)
     probe = rng.integers(-5, 400, size=1024).astype(np.int32)
-    tbl = _dense_rank_table(jnp.asarray(build),
-                            jnp.zeros((next_pow2(302),), np.int32))
-    lo_d, hi_d, head = _dense_bounds(tbl, jnp.asarray(probe))
+    cum, cnt = _dense_rank_table(jnp.asarray(build),
+                                 jnp.zeros((next_pow2(302),), np.int32))
+    lo_d, hi_d, head = _dense_bounds(cum, cnt, jnp.asarray(probe))
     lo_t, hi_t, t_t = _match_bounds_i64(jnp.sort(jnp.asarray(build)),
                                         jnp.asarray(probe))
     assert int(np.asarray(head)[0]) == int(t_t)

@@ -183,7 +183,7 @@ def _dense_rank_table(keys: jax.Array, zeros_l: jax.Array):
     HBM spike the 16 GB chip cannot spare alongside the output buffers."""
     cnt = zeros_l.at[keys].add(1, mode="drop")
     cum = jnp.cumsum(cnt, dtype=jnp.int32)
-    return cum, cnt
+    return cum, cnt, jnp.max(cnt)
 
 
 @jax.jit
@@ -202,6 +202,20 @@ def _dense_bounds(cum: jax.Array, cnt_tbl: jax.Array, probe_keys: jax.Array):
     total = jnp.sum(cnt.astype(jnp.int64))
     all_unit = jnp.all(cnt == 1).astype(jnp.int64)
     return lo, hi, jnp.stack([total, all_unit])
+
+
+@jax.jit
+def _dense_bounds_perm(probe_keys: jax.Array, kmin, kmax):
+    """Bounds under the PERMUTATION-BUILD certificate (dense keys covering
+    [kmin, kmax] exactly once — the canonical 16M PK build): lo is pure
+    arithmetic, no table, no gather.  head = [total, all_unit]; a probe key
+    outside the range voids all_unit and the caller falls back to the
+    gather-based directory for exact hi/lo of the non-matching rows."""
+    valid = (probe_keys >= kmin) & (probe_keys <= kmax)
+    lo = jnp.where(valid, probe_keys - kmin, 0).astype(jnp.int32)
+    total = jnp.sum(valid.astype(jnp.int64))
+    all_unit = jnp.all(valid).astype(jnp.int64)
+    return lo, jnp.stack([total, all_unit])
 
 
 @jax.jit
@@ -301,12 +315,13 @@ class BaseJoiner:
         if unit_counts and total_i:
             # every probe row matches exactly once (the FK invariant,
             # certified on device by the bounds pass): expansion is the
-            # identity — no scatter-max/cummax pass over the output
+            # identity — no scatter-max/cummax pass over the output, and
+            # b_rank IS lo end-padded (a lo[kc] gather here would cost a
+            # second 2^28-element gather at reference scale)
             k = jnp.arange(cap, dtype=jnp.int32)
             kc = jnp.minimum(k, jnp.int32(total_i - 1))
-            valid = k < total_i
-            p_idx = jnp.where(valid, kc, 0)
-            b_rank = jnp.where(valid, lo[kc], 0)
+            p_idx = jnp.where(k < total_i, kc, 0)
+            b_rank = jnp.pad(lo, (0, cap - lo.shape[0]))
         else:
             probe_idx, build_rank, _ = _expand_matches(lo, hi, cap)
             b_rank = jnp.where(build_rank >= 0, build_rank, 0)
@@ -400,8 +415,14 @@ class HashJoiner(BaseJoiner):
             if (0 <= kmin and kmax < _DENSE_LIMIT
                     and kmax < max(16 * table.num_rows, 1 << 20)):
                 tbl_len = next_pow2(kmax + 2)
-                self._dense_tbl = _dense_rank_table(
+                cum, cnt, mx_cnt = _dense_rank_table(
                     keys, jnp.zeros((tbl_len,), jnp.int32))
+                self._dense_tbl = (cum, cnt)
+                # permutation certificate: every key in [kmin, kmax]
+                # appears exactly once -> probe bounds are arithmetic
+                self._kmin, self._kmax = kmin, kmax
+                self._perm_build = (int(np.asarray(mx_cnt)) == 1
+                                    and kmax - kmin + 1 == table.num_rows)
         else:
             self.stats.max_bucket_occupancy = 0
         order = jnp.argsort(keys, stable=True)
@@ -427,6 +448,12 @@ class HashJoiner(BaseJoiner):
         the tagged-sort merge otherwise.  Returns (lo, hi, total,
         all_unit) with one device fence."""
         if self._dense_tbl is not None:
+            if getattr(self, "_perm_build", False):
+                lo, head = _dense_bounds_perm(probe_keys, self._kmin,
+                                              self._kmax)
+                tot = np.asarray(head)
+                if bool(tot[1]):          # every probe key in range
+                    return lo, None, int(tot[0]), True
             lo, hi, head = _dense_bounds(*self._dense_tbl, probe_keys)
             tot = np.asarray(head)
             return lo, hi, int(tot[0]), bool(tot[1])

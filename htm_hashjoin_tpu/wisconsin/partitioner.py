@@ -48,10 +48,19 @@ class PartitionedTable:
     table: Table
     sizes: np.ndarray      # (nparts,) int64
     offsets: np.ndarray    # (nparts,) int64 exclusive prefix sums
-    perm: "np.ndarray | jax.Array"  # original row index of each reordered
-                           # row — device-resident from the hash
-                           # partitioners (never pulled through the tunnel),
-                           # host numpy from the trivial ones
+    _perm: "np.ndarray | jax.Array | None" = None  # original row index of
+                           # each reordered row — device-resident from the
+                           # hash partitioners (never pulled through the
+                           # tunnel); None = identity (the no-op split),
+                           # materialized lazily: a host np.arange at the
+                           # 256M-row reference scale costs ~10 s and the
+                           # join never reads it
+
+    @property
+    def perm(self):
+        if self._perm is None:
+            self._perm = np.arange(self.table.num_rows)
+        return self._perm
 
     @property
     def nparts(self) -> int:
@@ -110,7 +119,7 @@ class NoPartitioner:
     def split(self, table: Table) -> PartitionedTable:
         n = table.num_rows
         return PartitionedTable(table, np.array([n], np.int64),
-                                np.array([0], np.int64), np.arange(n))
+                                np.array([0], np.int64))
 
 
 class ParallelPartitioner(NoPartitioner):

@@ -625,8 +625,9 @@ def test_dense_bounds_route_matches_tagged_sort_route():
     rng = np.random.default_rng(11)
     build = rng.integers(0, 300, size=512).astype(np.int32)
     probe = rng.integers(-5, 400, size=1024).astype(np.int32)
-    cum, cnt = _dense_rank_table(jnp.asarray(build),
-                                 jnp.zeros((next_pow2(302),), np.int32))
+    cum, cnt, mx = _dense_rank_table(jnp.asarray(build),
+                                     jnp.zeros((next_pow2(302),), np.int32))
+    assert int(mx) > 1          # duplicate build keys: no perm certificate
     lo_d, hi_d, head = _dense_bounds(cum, cnt, jnp.asarray(probe))
     lo_t, hi_t, t_t = _match_bounds_i64(jnp.sort(jnp.asarray(build)),
                                         jnp.asarray(probe))
@@ -655,3 +656,32 @@ def test_unit_count_emit_matches_general_expand(tmp_path):
     finally:
         J._DENSE_LIMIT = lim
     assert res2.output_rows == res.output_rows
+
+
+def test_perm_build_certificate_bounds():
+    """Permutation-build certificate: a dense unique full-coverage build
+    makes probe bounds pure arithmetic; results must equal the directory
+    route, and an out-of-range probe key voids all_unit."""
+    import jax.numpy as jnp
+    from htm_hashjoin_tpu.wisconsin.joiners import (_dense_bounds,
+                                                    _dense_bounds_perm,
+                                                    _dense_rank_table)
+    from htm_hashjoin_tpu.relation import next_pow2
+    rng = np.random.default_rng(3)
+    build = rng.permutation(np.arange(5, 517)).astype(np.int32)  # 512 keys
+    probe = rng.integers(5, 517, size=777).astype(np.int32)
+    lo_p, head = _dense_bounds_perm(jnp.asarray(probe), 5, 516)
+    assert int(np.asarray(head)[0]) == 777 and int(np.asarray(head)[1]) == 1
+    cum, cnt, mx = _dense_rank_table(jnp.asarray(build),
+                                     jnp.zeros((next_pow2(518),), np.int32))
+    assert int(mx) == 1
+    lo_d, hi_d, head_d = _dense_bounds(cum, cnt, jnp.asarray(probe))
+    # arithmetic lo indexes the key-sorted build identically: key k sits
+    # at rank k - kmin = cum[k] - cnt[k]
+    assert np.array_equal(np.asarray(lo_p), np.asarray(lo_d))
+    assert np.array_equal(np.asarray(hi_d), np.asarray(lo_d) + 1)
+    # out-of-range probe key -> all_unit voided
+    probe2 = np.concatenate([probe, [9999]]).astype(np.int32)
+    _, head2 = _dense_bounds_perm(jnp.asarray(probe2), 5, 516)
+    assert int(np.asarray(head2)[1]) == 0
+    assert int(np.asarray(head2)[0]) == 777

@@ -53,16 +53,22 @@ def probe_buckets(table: jax.Array, skeys: jax.Array, slots: int,
     return total
 
 
-def probe_sorted(build_keys: jax.Array, skeys: jax.Array) -> jax.Array:
+def probe_sorted(build_keys: jax.Array, skeys: jax.Array,
+                 i32_keys: bool = False) -> jax.Array:
     """Count equi-join matches, multiset-correct (duplicates on both sides
     multiply).  Implemented as ONE fused sort of a tagged composite plus two
     cumulative scans — ~35x faster on TPU than the two
     searchsorted(method='sort') calls it replaces, each of which re-sorts the
     concatenated arrays.  Neither input needs to be pre-sorted; the name is
-    kept for the call sites that pass the sorted build artifact."""
+    kept for the call sites that pass the sorted build artifact.
+
+    ``i32_keys``: the caller certifies 0 <= key < 2^30, so the tagged
+    composite fits int32 — int64 sorts on this TPU run several times
+    slower (no native 64-bit vector path)."""
+    comp_dtype = jnp.int32 if i32_keys else jnp.int64
     comp = jnp.concatenate([
-        build_keys.astype(jnp.int64) * 2,
-        skeys.astype(jnp.int64) * 2 + 1,
+        build_keys.astype(comp_dtype) * 2,
+        skeys.astype(comp_dtype) * 2 + 1,
     ])
     s = jnp.sort(comp)
     tag = (s & 1).astype(jnp.int32)

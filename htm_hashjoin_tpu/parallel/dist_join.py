@@ -173,9 +173,14 @@ def _is_member(keys, sorted_set):
     return sorted_set[idx] == keys
 
 
-def _count_sorted(sorted_build, probe_keys):
+def _count_sorted(sorted_build, probe_keys, i32_keys=False):
     from ..ops.probe import probe_sorted  # one fused tagged sort + scans
-    return probe_sorted(sorted_build, probe_keys)
+    # i32_keys: planner-certified 0 <= key < 2^30 — the int32 composite
+    # sort runs several times faster than int64 on TPU.  The R_PAD/S_PAD
+    # sentinels stay safe: R_PAD*2 wraps to -2 (its own build-only run,
+    # contributes nothing) and S_PAD=0 probes key 0, which no generated
+    # key (1-based) matches.
+    return probe_sorted(sorted_build, probe_keys, i32_keys=i32_keys)
 
 
 class DistResult(NamedTuple):
@@ -197,7 +202,7 @@ def _is_dev0(axis):
     return flag
 
 
-def _residual_matches(r_res, s_res, r_recv, s_recv, axis):
+def _residual_matches(r_res, s_res, r_recv, s_recv, axis, i32_keys=False):
     """Cooperative repair round: every device helps join the tuples that
     overflowed their destination bucket — the TPU analog of the reference's
     cooperative re-partitioning of oversized partitions
@@ -211,15 +216,15 @@ def _residual_matches(r_res, s_res, r_recv, s_recv, axis):
     contribution (caller psums)."""
     r_all = lax.all_gather(r_res, axis, tiled=True)
     s_all = lax.all_gather(s_res, axis, tiled=True)
-    m1 = _count_sorted(r_all, s_recv)
-    m2 = _count_sorted(r_recv, s_all)
-    m3 = jnp.where(_is_dev0(axis), _count_sorted(r_all, s_all),
+    m1 = _count_sorted(r_all, s_recv, i32_keys)
+    m2 = _count_sorted(r_recv, s_all, i32_keys)
+    m3 = jnp.where(_is_dev0(axis), _count_sorted(r_all, s_all, i32_keys),
                    jnp.zeros((), jnp.int64))
     return m1 + m2 + m3
 
 
 def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling,
-                     axis="x", hier=None, res_cap=0):
+                     axis="x", hier=None, res_cap=0, i32_keys=False):
     """Per-device body (runs under shard_map).  ``hier`` is None for the
     flat 1-D exchange, or (hosts, chips) for the two-stage hierarchical
     exchange over a ("host", "chip") mesh (axis is then the axis-name
@@ -272,7 +277,7 @@ def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling,
         s_recv = lax.all_to_all(sbuf, axis, split_axis=0,
                                 concat_axis=0).reshape(-1)
 
-    local_matches = _count_sorted(r_recv, s_recv)  # needs no pre-sort
+    local_matches = _count_sorted(r_recv, s_recv, i32_keys)  # no pre-sort
 
     if res_cap > 0:
         rep_r = jnp.sum(r_res != R_PAD, dtype=jnp.int64)
@@ -284,7 +289,8 @@ def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling,
         axes = axis if isinstance(axis, tuple) else (axis,)
         local_matches += lax.cond(
             any_res,
-            lambda _: _residual_matches(r_res, s_res, r_recv, s_recv, axis),
+            lambda _: _residual_matches(r_res, s_res, r_recv, s_recv, axis,
+                                        i32_keys),
             # pcast: the zero literal must carry the same varying-axes type
             # as the true branch under shard_map
             lambda _: lax.pcast(jnp.zeros((), jnp.int64), axes, to="varying"),
@@ -312,7 +318,8 @@ def _dist_join_local(rk, sk, *, ndev, cap_r, cap_s, skew_handling,
 def build_dist_join_fn(mesh: Mesh, n_r: int, n_s: int, *,
                        capacity_factor: float = 2.0,
                        skew_handling: bool = False,
-                       residual_repair: bool = True):
+                       residual_repair: bool = True,
+                       i32_keys: bool = False):
     """Compile-ready distributed join: (sharded rk, sharded sk) → DistResult.
     A 1-D mesh uses the flat all_to_all; a 2-D ("host", "chip") mesh uses
     the two-stage hierarchical exchange (ICI pass before the DCN pass).
@@ -339,12 +346,13 @@ def build_dist_join_fn(mesh: Mesh, n_r: int, n_s: int, *,
         body = functools.partial(_dist_join_local, ndev=ndev, cap_r=cap_r,
                                  cap_s=cap_s, skew_handling=skew_handling,
                                  axis=axis, hier=(hosts, chips),
-                                 res_cap=res_cap)
+                                 res_cap=res_cap, i32_keys=i32_keys)
         spec = P(axis)
     else:
         body = functools.partial(_dist_join_local, ndev=ndev, cap_r=cap_r,
                                  cap_s=cap_s, skew_handling=skew_handling,
-                                 axis=mesh.axis_names[0], res_cap=res_cap)
+                                 axis=mesh.axis_names[0], res_cap=res_cap,
+                                 i32_keys=i32_keys)
         spec = P(mesh.axis_names[0])
     fn = shard_map(body, mesh=mesh, in_specs=(spec, spec),
                    out_specs=DistResult(*([P()] * len(DistResult._fields))))
@@ -377,10 +385,12 @@ def distributed_join(r: Relation, s: Optional[Relation],
                  ndev, S_PAD)
     rk = jax.device_put(rk, NamedSharding(mesh, spec))
     sk = jax.device_put(sk, NamedSharding(mesh, spec))
+    from ..joins.common import _max_key_bound
     fn = build_dist_join_fn(mesh, rk.shape[0], sk.shape[0],
                             capacity_factor=cfg.shuffle_capacity_factor,
                             skew_handling=cfg.skew_handling,
-                            residual_repair=cfg.residual_repair)
+                            residual_repair=cfg.residual_repair,
+                            i32_keys=_max_key_bound(cfg) < (1 << 30))
     res = timer.timed("build", fn, rk, sk)
     m = JoinMetrics(algo=f"dist_{cfg.algo.value}", rSize=cfg.r_size,
                     transactionSize=cfg.transaction_size,

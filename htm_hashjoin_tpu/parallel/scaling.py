@@ -44,7 +44,8 @@ from .mesh import make_mesh
 
 
 def _phase_fns(mesh: Mesh, n_r: int, n_s: int, *,
-               capacity_factor: float = 2.0, residual_repair: bool = True):
+               capacity_factor: float = 2.0, residual_repair: bool = True,
+               i32_keys: bool = False):
     """Three phase programs sharing dist_join's exchange/count/repair
     machinery, each independently jitted so the harness can fence between
     them."""
@@ -86,11 +87,12 @@ def _phase_fns(mesh: Mesh, n_r: int, n_s: int, *,
                 lax.psum(r_ovf, axis), lax.psum(s_ovf, axis), n_res)
 
     def join_body(r_recv, s_recv):
-        return lax.psum(_count_sorted(r_recv, s_recv), axis)
+        return lax.psum(_count_sorted(r_recv, s_recv, i32_keys), axis)
 
     def repair_body(r_res, s_res, r_recv, s_recv):
         return lax.psum(
-            _residual_matches(r_res, s_res, r_recv, s_recv, axis), axis)
+            _residual_matches(r_res, s_res, r_recv, s_recv, axis, i32_keys),
+            axis)
 
     sm = functools.partial(shard_map, mesh=mesh)
     ex = jax.jit(sm(exchange_body, in_specs=(spec, spec),
@@ -125,7 +127,10 @@ def scaling_point(mesh_shape, n_r: int, n_s: int, *, data: str = "uniform",
     else:
         sk = _pad_to(sorted_keys(n_s), ndev, S_PAD)
     fence_outputs((rk, sk))
-    ex, jo, rp = _phase_fns(mesh, n_r, n_s)
+    # generator keys are 1..max(n_r, n_s): certify the int32 tagged
+    # composite for the count/repair sorts whenever that bound allows
+    ex, jo, rp = _phase_fns(mesh, n_r, n_s,
+                            i32_keys=max(n_r, n_s) < (1 << 30))
 
     best = None
     for _ in range(max(1, reps)):

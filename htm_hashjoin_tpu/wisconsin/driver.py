@@ -138,9 +138,14 @@ def run_multijoin(conf: Union[str, Dict[str, Any]], *,
     with phase("split_build"):
         parts_build = pbuild.split(tbuild)
         fence_outputs(parts_build.table.columns)
+        if parts_build.table is not tbuild:
+            tbuild.columns = []      # free the pre-split original: at the
+            # 256M-row reference scale the duplicate costs 2 GB of HBM
     with phase("split_probe"):
         parts_probe = pprobe.split(tprobe)
         fence_outputs(parts_probe.table.columns)
+        if parts_probe.table is not tprobe:
+            tprobe.columns = []
     with phase("build"):
         joiner.build(parts_build)
         fence_outputs([getattr(joiner, a, None) for a in

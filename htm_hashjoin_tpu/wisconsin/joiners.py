@@ -74,11 +74,14 @@ def _expand_matches(lo: jax.Array, hi: jax.Array, cap: int):
     index -1.  This replaces the reference's per-thread output cursors
     (WriteTable::append, table.h:200-253) with one vectorized program.
     """
+    # int32 slot/index arithmetic when cap allows: the int64 temporaries
+    # at a 2^28-row output cost ~8 GB of transient HBM (ran the chip out)
+    idt = jnp.int32 if cap < (1 << 31) else jnp.int64
     counts = (hi - lo).astype(jnp.int64)
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int64),
                                jnp.cumsum(counts)])
     total = offsets[-1]
-    k = jnp.arange(cap, dtype=jnp.int64)
+    k = jnp.arange(cap, dtype=idt)
     # owner row of slot k = last i with offsets[i] <= k.  searchsorted here
     # is 24 binary-search gather passes over cap elements (~16 s at 16M on
     # TPU); since k is just arange(cap), a scatter-max of row ids at range
@@ -88,11 +91,11 @@ def _expand_matches(lo: jax.Array, hi: jax.Array, cap: int):
     starts = offsets[:-1].astype(jnp.int32)    # cap < 2^31
     marks = jnp.zeros((cap,), jnp.int32).at[starts].max(
         jnp.arange(lo.shape[0], dtype=jnp.int32), mode="drop")
-    pi = jax.lax.cummax(marks).astype(jnp.int64)
+    pi = jax.lax.cummax(marks).astype(idt)
     # one fused gather: build_rank = k + (lo - range_start)[owner]
-    base = lo.astype(jnp.int64) - offsets[:-1]
+    base = (lo.astype(jnp.int64) - offsets[:-1]).astype(idt)
     build_rank = k + base[pi]
-    valid = k < total
+    valid = k < total.astype(idt)
     probe_idx = jnp.where(valid, pi, -1)
     build_rank = jnp.where(valid, build_rank, -1)
     return probe_idx, build_rank, total

@@ -72,18 +72,28 @@ class PartitionedTable:
 
 
 def _reorder(table: Table, jattr: int, buckets: jax.Array, nparts: int,
-             rank_bias: Optional[jax.Array] = None) -> PartitionedTable:
+             rank_bias: Optional[jax.Array] = None,
+             bias_bound: int = 0) -> PartitionedTable:
     """One conflict-free partitioning pass: stable sort rows by bucket id
-    (optionally biased by a secondary rank) and gather every column.
+    (optionally biased by a secondary rank in [0, bias_bound)) and gather
+    every column.
 
     This single fused program subsumes the reference's histogram + barrier +
     prefix-sum + scatter pipeline (partitioner.cpp:336-520) — the histogram
     and offsets fall out of a bincount, and the scatter is the sort's gather.
     """
     n = table.num_rows
-    rank = buckets.astype(jnp.int64)
-    if rank_bias is not None:
-        rank = rank * jnp.int64(n + 1) + rank_bias.astype(jnp.int64)
+    # int32 composite rank whenever it fits (bias values are shard ids
+    # < bias_bound): int64 argsort at a 256M-row probe costs 2x the time
+    # and 2x the HBM of the int32 sort
+    if rank_bias is None:
+        rank = buckets.astype(jnp.int32)
+    elif nparts * bias_bound < (1 << 31):
+        rank = (buckets.astype(jnp.int32) * jnp.int32(bias_bound)
+                + rank_bias.astype(jnp.int32))
+    else:
+        rank = (buckets.astype(jnp.int64) * jnp.int64(bias_bound)
+                + rank_bias.astype(jnp.int64))
     perm = jnp.argsort(rank, stable=True)
     hist = jnp.bincount(buckets, length=nparts)
     offsets = jnp.concatenate([jnp.zeros((1,), hist.dtype),
@@ -154,12 +164,12 @@ class IndependentPartitioner(ParallelPartitioner):
         buckets = self.hashfn.hash(keys)
         # logical shard of each row under the reference's round-robin page
         # split (table.cpp:238-272)
-        page = jnp.arange(n, dtype=jnp.int64) // table.page_size
-        shard = page % self.nthreads
+        page = jnp.arange(n, dtype=jnp.int32) // jnp.int32(table.page_size)
+        shard = page % jnp.int32(self.nthreads)
         # rank bias orders rows by shard within a bucket; sort stability
         # keeps original position within (bucket, shard)
         return _reorder(table, self.attribute, buckets, self.hashfn.buckets,
-                        rank_bias=shard)
+                        rank_bias=shard, bias_bound=self.nthreads)
 
 
 class DerekPartitioner(NoPartitioner):
@@ -178,7 +188,7 @@ class DerekPartitioner(NoPartitioner):
         sizes = np.full((self.nthreads,), base, np.int64)
         sizes[:rem] += 1
         offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-        return PartitionedTable(table, sizes, offsets, np.arange(n))
+        return PartitionedTable(table, sizes, offsets)
 
 
 class RadixPartitioner(ParallelPartitioner):

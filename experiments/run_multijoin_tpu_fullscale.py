@@ -35,6 +35,11 @@ def main() -> int:
         conf = parse_conf(f"htm_hashjoin_tpu/wisconsin/conf/{name}.conf")
         res = None
         for rep in range(a.reps):
+            # free the previous output table BEFORE the next run: a held
+            # 2 GB result while the next conf computes is the difference
+            # between fitting and ResourceExhausted on the 15.75 GB chip
+            del res
+            res = None
             res = run_multijoin(conf)
         line = json.loads(res.to_json_line())
         line["conf"] = name

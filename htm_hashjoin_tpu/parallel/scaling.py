@@ -113,20 +113,56 @@ def _pad_to(keys: jnp.ndarray, multiple: int, pad_value):
 
 def scaling_point(mesh_shape, n_r: int, n_s: int, *, data: str = "uniform",
                   zipf_theta: float = 1.1, seed: int = 0,
-                  reps: int = 2) -> dict:
+                  reps: int = 2, skew_handling: bool = False) -> dict:
     """One scaling measurement: phase-split distributed join on a mesh of
-    prod(mesh_shape) devices.  Returns the best-of-reps phase times."""
+    prod(mesh_shape) devices.  Returns the best-of-reps phase times.
+
+    ``skew_handling`` runs the production skew plan (hot keys never move:
+    dist_join's sampled heavy-hitter path) as ONE fused program — the
+    per-phase split does not apply, so phase columns read 0 and the total
+    is the fused program's time.  This is the plan the engine actually
+    picks for zipf data; the skew-off zipf rows exist to show what the
+    repair path costs without it."""
     from ..data.generators import pk_keys, sorted_keys, zipf_keys
 
     names = ("host", "chip") if len(mesh_shape) == 2 else ("x",)
     mesh = make_mesh(tuple(mesh_shape), names)
     ndev = mesh.devices.size
     rk = _pad_to(pk_keys(n_r, seed), ndev, R_PAD)
-    if data == "zipf":
+    if data.startswith("zipf"):
         sk = _pad_to(zipf_keys(n_s, n_r, zipf_theta, seed + 1), ndev, S_PAD)
     else:
         sk = _pad_to(sorted_keys(n_s), ndev, S_PAD)
     fence_outputs((rk, sk))
+    if skew_handling:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .dist_join import build_dist_join_fn
+        spec = P(tuple(mesh.axis_names)) if mesh.devices.ndim == 2 \
+            else P(mesh.axis_names[0])
+        rk = jax.device_put(rk, NamedSharding(mesh, spec))
+        sk = jax.device_put(sk, NamedSharding(mesh, spec))
+        fn = build_dist_join_fn(mesh, rk.shape[0], sk.shape[0],
+                                skew_handling=True,
+                                i32_keys=max(n_r, n_s) < (1 << 30))
+        best = None
+        for _ in range(max(1, reps)):
+            timer = PhaseTimer()
+            res = timer.timed("total", fn, rk, sk)
+            point = {
+                "mesh": list(mesh_shape), "ndev": ndev, "nR": n_r,
+                "nS": n_s, "data": data, "exchangeTimeUs": 0.0,
+                "joinTimeUs": 0.0, "repairTimeUs": 0.0,
+                "totalTimeUs": timer.total(),
+                "matches": int(res.matches), "repairFired": False,
+                "overflowR": int(res.dropped_r + res.repaired_r),
+                "overflowS": int(res.dropped_s + res.repaired_s),
+                "skewHandling": True, "hotKeys": int(res.num_hot),
+            }
+            if best is None or point["totalTimeUs"] < best["totalTimeUs"]:
+                best = point
+        best["matchesExpected"] = n_s
+        best["exact"] = best["matches"] == n_s
+        return best
     # generator keys are 1..max(n_r, n_s): certify the int32 tagged
     # composite for the count/repair sorts whenever that bound allows
     ex, jo, rp = _phase_fns(mesh, n_r, n_s,
@@ -177,8 +213,10 @@ def scaling_sweep(out_path: str, *, per_dev_log2: int = 17,
                 continue
             n = (1 << per_dev_log2) * ndev if mode == "weak" \
                 else (1 << strong_log2)
-            for data in ("uniform", "zipf"):
-                pt = scaling_point(mesh_shape, n, n, data=data, reps=reps)
+            for data, skew in (("uniform", False), ("zipf", False),
+                               ("zipf+skew", True)):
+                pt = scaling_point(mesh_shape, n, n, data=data, reps=reps,
+                                   skew_handling=skew)
                 pt["mode"] = mode
                 lines.append(pt)
                 if echo:

@@ -30,7 +30,8 @@ def test_scaling_sweep_writes_log(tmp_path):
     lines = scaling_sweep(str(out), per_dev_log2=10, strong_log2=12,
                           reps=1, meshes=((1,), (2,), (2, 2)), echo=False)
     logged = [json.loads(l) for l in out.read_text().splitlines()]
-    assert len(logged) == len(lines) == 2 * 3 * 2  # modes × meshes × data
+    # modes × meshes × data variants (uniform, zipf, zipf+skew)
+    assert len(logged) == len(lines) == 2 * 3 * 3
     assert all(p["exact"] for p in logged)
     assert all("efficiency" in p for p in logged)
     modes = {p["mode"] for p in logged}

@@ -258,17 +258,38 @@ def block_bitonic_sort_keys(key, block: int, offset: int = 0):
     live = None
     if frozen_start < L:
         live = linear_iota(key.shape) < jnp.int32(frozen_start)
+    # FLIP formulation (see bitonic_sort_keys): descending blocks store ~x
+    # so every stage runs the 5-op ascending compare-exchange; only the
+    # positions whose direction changes re-flip between levels.  Frozen
+    # positions never flip (they must keep raw values), and CE partners
+    # never cross the block-aligned frozen boundary, so live results stay
+    # exact.
+    flipped = None
     kk = 2
     while kk <= block:
-        asc = ~_index_bit(key.shape, kk) if kk < block else None
+        want = _index_bit(key.shape, kk) if kk < block else None
+        if want is not None and live is not None:
+            want = want & live
+        if want is None:
+            if flipped is not None:
+                key = jnp.where(flipped, ~key, key)
+                flipped = None
+        elif flipped is None:
+            key = jnp.where(want, ~key, key)
+            flipped = want
+        else:
+            key = jnp.where(flipped != want, ~key, key)
+            flipped = want
         s = kk // 2
         while s >= 1:
-            new = _ce_keys(key, s, asc)
+            new = _ce_keys(key, s)
             # frozen blocks keep their values; partners never cross the
             # (block-aligned) frozen boundary, so live results are exact
             key = new if live is None else jnp.where(live, new, key)
             s //= 2
         kk *= 2
+    if flipped is not None:
+        key = jnp.where(flipped, ~key, key)
     if rot:
         key = lroll(key, L - rot)
     return key

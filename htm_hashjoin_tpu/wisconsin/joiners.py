@@ -75,12 +75,14 @@ def _expand_matches(lo: jax.Array, hi: jax.Array, cap: int):
     (WriteTable::append, table.h:200-253) with one vectorized program.
     """
     # int32 slot/index arithmetic when cap allows: the int64 temporaries
-    # at a 2^28-row output cost ~8 GB of transient HBM (ran the chip out)
+    # at a 2^28-row output cost ~8 GB of transient HBM (ran the chip out).
+    # total <= cap (the caller sizes cap from the counted total), so the
+    # int32 offsets cannot overflow under the gate.
     idt = jnp.int32 if cap < (1 << 31) else jnp.int64
-    counts = (hi - lo).astype(jnp.int64)
-    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int64),
-                               jnp.cumsum(counts)])
-    total = offsets[-1]
+    counts = (hi - lo).astype(idt)
+    offsets = jnp.concatenate([jnp.zeros((1,), idt),
+                               jnp.cumsum(counts, dtype=idt)])
+    total = offsets[-1].astype(jnp.int64)
     k = jnp.arange(cap, dtype=idt)
     # owner row of slot k = last i with offsets[i] <= k.  searchsorted here
     # is 24 binary-search gather passes over cap elements (~16 s at 16M on
@@ -93,7 +95,7 @@ def _expand_matches(lo: jax.Array, hi: jax.Array, cap: int):
         jnp.arange(lo.shape[0], dtype=jnp.int32), mode="drop")
     pi = jax.lax.cummax(marks).astype(idt)
     # one fused gather: build_rank = k + (lo - range_start)[owner]
-    base = (lo.astype(jnp.int64) - offsets[:-1]).astype(idt)
+    base = lo.astype(idt) - offsets[:-1]
     build_rank = k + base[pi]
     valid = k < total.astype(idt)
     probe_idx = jnp.where(valid, pi, -1)
@@ -219,6 +221,13 @@ def _dense_bounds_perm(probe_keys: jax.Array, kmin, kmax):
     total = jnp.sum(valid.astype(jnp.int64))
     all_unit = jnp.all(valid).astype(jnp.int64)
     return lo, jnp.stack([total, all_unit])
+
+
+@jax.jit
+def _partition_costs(lo, hi, starts, ends):
+    counts = (hi - lo).astype(jnp.int64) + 1
+    cum = jnp.concatenate([jnp.zeros((1,), jnp.int64), jnp.cumsum(counts)])
+    return cum[ends] - cum[starts]
 
 
 @jax.jit
@@ -572,14 +581,13 @@ class HashJoiner(BaseJoiner):
             lo, hi, total, all_unit = self._scheduled_probe(parts,
                                                             probe_keys, n)
             # predicted per-partition costs stay observable alongside the
-            # measured schedule (the old stats surface)
-            counts = (hi - lo).astype(jnp.int64) + 1
-            cum = jnp.concatenate([jnp.zeros((1,), jnp.int64),
-                                   jnp.cumsum(counts)])
+            # measured schedule (the old stats surface); one jitted
+            # program — eagerly-dispatched int64 cumsums here pinned 4 GB
+            # of temporaries through the emit at reference scale
             starts = jnp.asarray(np.asarray(parts.offsets, np.int64))
             ends = starts + jnp.asarray(np.asarray(parts.sizes, np.int64))
-            self.stats.partition_probe_costs = np.asarray(cum[ends] -
-                                                          cum[starts])
+            self.stats.partition_probe_costs = np.asarray(
+                _partition_costs(lo, hi, starts, ends))
         else:
             lo, hi, total, all_unit = self._bounds(probe_keys)
 

@@ -205,7 +205,10 @@ def _dense_bounds(cum: jax.Array, cnt_tbl: jax.Array, probe_keys: jax.Array):
     hi = jnp.where(valid, cum[idx], 0)
     lo = hi - cnt
     total = jnp.sum(cnt.astype(jnp.int64))
-    all_unit = jnp.all(cnt == 1).astype(jnp.int64)
+    # negative keys are schedule padding (matches nothing) — they do not
+    # void the unit certificate; generated keys are 1-based so a real
+    # non-matching key (cnt 0, key >= 0) still voids it
+    all_unit = jnp.all((cnt == 1) | (probe_keys < 0)).astype(jnp.int64)
     return lo, hi, jnp.stack([total, all_unit])
 
 
@@ -218,9 +221,10 @@ def _dense_bounds_perm(probe_keys: jax.Array, kmin, kmax):
     gather-based directory for exact hi/lo of the non-matching rows."""
     valid = (probe_keys >= kmin) & (probe_keys <= kmax)
     lo = jnp.where(valid, probe_keys - kmin, 0).astype(jnp.int32)
+    hi = lo + valid.astype(jnp.int32)
     total = jnp.sum(valid.astype(jnp.int64))
-    all_unit = jnp.all(valid).astype(jnp.int64)
-    return lo, jnp.stack([total, all_unit])
+    all_unit = jnp.all(valid | (probe_keys < 0)).astype(jnp.int64)
+    return lo, hi, jnp.stack([total, all_unit])
 
 
 @jax.jit
@@ -461,11 +465,11 @@ class HashJoiner(BaseJoiner):
         all_unit) with one device fence."""
         if self._dense_tbl is not None:
             if getattr(self, "_perm_build", False):
-                lo, head = _dense_bounds_perm(probe_keys, self._kmin,
-                                              self._kmax)
+                lo, hi, head = _dense_bounds_perm(probe_keys, self._kmin,
+                                                  self._kmax)
                 tot = np.asarray(head)
                 if bool(tot[1]):          # every probe key in range
-                    return lo, None, int(tot[0]), True
+                    return lo, hi, int(tot[0]), True
             lo, hi, head = _dense_bounds(*self._dense_tbl, probe_keys)
             tot = np.asarray(head)
             return lo, hi, int(tot[0]), bool(tot[1])
@@ -514,9 +518,13 @@ class HashJoiner(BaseJoiner):
         pad_len = max(8, next_pow2(max(b - a for a, b in units)))
         pad = jnp.full((pad_len,), -1, probe_keys.dtype)   # matches nothing
         if self._dense_tbl is not None:
-            def unit_bounds(seg):
-                lo_u, hi_u, head = _dense_bounds(*self._dense_tbl, seg)
-                return lo_u, hi_u, head
+            if getattr(self, "_perm_build", False):
+                # arithmetic bounds per unit: no gathers at all
+                def unit_bounds(seg):
+                    return _dense_bounds_perm(seg, self._kmin, self._kmax)
+            else:
+                def unit_bounds(seg):
+                    return _dense_bounds(*self._dense_tbl, seg)
         else:
             # certify the int32 composite ONCE for the whole schedule (a
             # per-unit certification readback would add ~25 ms per unit)
@@ -533,6 +541,10 @@ class HashJoiner(BaseJoiner):
         np.asarray(unit_bounds(pad)[2])
         los, his, times = [], [], []
         total = 0
+        # the unit certificate survives scheduling: pad keys (-1) are
+        # excluded on device, so AND-ing the per-unit flags certifies the
+        # whole probe (unlocks the identity emit — at reference scale the
+        # general expansion's temporaries alone exceed the chip's HBM)
         all_unit = self._dense_tbl is not None
         for a, b in units:
             seg = jax.lax.dynamic_update_slice(pad, probe_keys[a:b], (0,))
@@ -540,10 +552,7 @@ class HashJoiner(BaseJoiner):
             lo_u, hi_u, head = unit_bounds(seg)
             hd = np.asarray(head)           # readback = the unit's fence
             total += int(hd[0])
-            # pad keys (-1) match nothing, so a padded unit can never
-            # certify all-unit — only a schedule with zero pad could;
-            # unit emit stays on the full-probe (non-scheduled) path
-            all_unit = False
+            all_unit = all_unit and bool(hd[1])
             times.append((time.perf_counter() - t0) * 1e6)
             los.append(lo_u[:b - a])
             his.append(hi_u[:b - a])

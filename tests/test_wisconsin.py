@@ -670,7 +670,7 @@ def test_perm_build_certificate_bounds():
     rng = np.random.default_rng(3)
     build = rng.permutation(np.arange(5, 517)).astype(np.int32)  # 512 keys
     probe = rng.integers(5, 517, size=777).astype(np.int32)
-    lo_p, head = _dense_bounds_perm(jnp.asarray(probe), 5, 516)
+    lo_p, hi_p, head = _dense_bounds_perm(jnp.asarray(probe), 5, 516)
     assert int(np.asarray(head)[0]) == 777 and int(np.asarray(head)[1]) == 1
     cum, cnt, mx = _dense_rank_table(jnp.asarray(build),
                                      jnp.zeros((next_pow2(518),), np.int32))
@@ -679,9 +679,10 @@ def test_perm_build_certificate_bounds():
     # arithmetic lo indexes the key-sorted build identically: key k sits
     # at rank k - kmin = cum[k] - cnt[k]
     assert np.array_equal(np.asarray(lo_p), np.asarray(lo_d))
+    assert np.array_equal(np.asarray(hi_p), np.asarray(hi_d))
     assert np.array_equal(np.asarray(hi_d), np.asarray(lo_d) + 1)
     # out-of-range probe key -> all_unit voided
     probe2 = np.concatenate([probe, [9999]]).astype(np.int32)
-    _, head2 = _dense_bounds_perm(jnp.asarray(probe2), 5, 516)
+    _, _, head2 = _dense_bounds_perm(jnp.asarray(probe2), 5, 516)
     assert int(np.asarray(head2)[1]) == 0
     assert int(np.asarray(head2)[0]) == 777

@@ -539,32 +539,49 @@ class HashJoiner(BaseJoiner):
         # the first unit's measured time (the reference's timers likewise
         # start after thread setup, main.cpp:99-109)
         np.asarray(unit_bounds(pad)[2])
-        los, his, times = [], [], []
+        # Owner-order round-robin for partition units (partition p →
+        # worker p % nthreads, the static SPMD assignment, SURVEY.md §2.4
+        # P8); steal chunks map one-to-one onto workers.  Each WORKER's
+        # units run as one enqueued batch with a single fenced readback —
+        # the measured granularity is the worker, exactly the reference's
+        # per-thread rdtsc span (main.cpp:75-94); per-unit micros are the
+        # worker's measured span apportioned by unit rows.  (The round-3
+        # per-UNIT fence cost ~27 ms of tunnel round trip per unit — 55 s
+        # of pure fences on a 2048-partition probe.)
+        k = self.nthreads
+        los = [None] * len(units)
+        his = [None] * len(units)
+        times = [0.0] * len(units)
+        worker_us = [0.0] * k
         total = 0
         # the unit certificate survives scheduling: pad keys (-1) are
         # excluded on device, so AND-ing the per-unit flags certifies the
         # whole probe (unlocks the identity emit — at reference scale the
         # general expansion's temporaries alone exceed the chip's HBM)
         all_unit = self._dense_tbl is not None
-        for a, b in units:
-            seg = jax.lax.dynamic_update_slice(pad, probe_keys[a:b], (0,))
+        for w in range(k):
+            idxs = [i for i in range(len(units)) if i % k == w]
+            if not idxs:
+                continue
             t0 = time.perf_counter()
-            lo_u, hi_u, head = unit_bounds(seg)
-            hd = np.asarray(head)           # readback = the unit's fence
-            total += int(hd[0])
-            all_unit = all_unit and bool(hd[1])
-            times.append((time.perf_counter() - t0) * 1e6)
-            los.append(lo_u[:b - a])
-            his.append(hi_u[:b - a])
+            heads = []
+            for i in idxs:
+                a, b = units[i]
+                seg = jax.lax.dynamic_update_slice(pad, probe_keys[a:b],
+                                                   (0,))
+                lo_u, hi_u, head = unit_bounds(seg)
+                los[i] = lo_u[:b - a]
+                his[i] = hi_u[:b - a]
+                heads.append(head)
+            hd = np.asarray(jnp.stack(heads))   # the worker's ONE fence
+            worker_us[w] = (time.perf_counter() - t0) * 1e6
+            total += int(hd[:, 0].sum())
+            all_unit = all_unit and bool(hd[:, 1].all())
+            wrows = sum(units[i][1] - units[i][0] for i in idxs)
+            for i in idxs:
+                times[i] = worker_us[w] * (units[i][1] - units[i][0])                     / max(1, wrows)
         lo = jnp.concatenate(los) if len(los) > 1 else los[0]
         hi = jnp.concatenate(his) if len(his) > 1 else his[0]
-        # owner-order round-robin for partition units (partition p → worker
-        # p % nthreads, the static SPMD assignment, SURVEY.md §2.4 P8);
-        # steal chunks map one-to-one onto workers
-        k = self.nthreads
-        worker_us = [0.0] * k
-        for i, us in enumerate(times):
-            worker_us[i % k] += us
         ss = sync_stats(worker_us)
         self.stats.probe_schedule = {
             "policy": policy,

@@ -72,22 +72,28 @@ class PartitionedTable:
         return np.arange(s, e)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _reorder_device(cols, rank_and_buckets, nparts: int):
-    """The fused partition program: stable argsort by rank + bincount +
-    per-column gather in ONE XLA computation.  Fusing matters at reference
-    scale: dispatched eagerly, every 1 GB temporary (buckets, rank, sort
-    workspace, perm) is pinned by a live Python reference until GC and the
-    256M-row probe split exceeded the chip's 15.75 GB HBM; under one jit,
-    XLA's live-range analysis frees each as soon as its last use runs."""
-    rank, buckets = rank_and_buckets
-    perm = jnp.argsort(rank, stable=True)
-    hist = jnp.bincount(buckets, length=nparts)
-    offsets = jnp.concatenate([jnp.zeros((1,), hist.dtype),
-                               jnp.cumsum(hist)[:-1]])
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _reorder_device(cols, rank, nparts: int, stride: int):
+    """The fused partition program: ONE stable key-value sort of (rank,
+    iota) gives both the permutation and the sorted ranks; partition
+    offsets fall out of 8K binary searches on the sorted ranks (partition
+    p covers ranks [p·stride, (p+1)·stride)).  Fusing into one XLA
+    computation matters at reference scale: dispatched eagerly, every
+    1 GB temporary is pinned by a live Python reference until GC and the
+    256M-row probe split exceeded the chip's 15.75 GB HBM.  The previous
+    bincount formulation scatter-added 2^28 rows into 8K buckets —
+    duplicate-heavy scatter is XLA's slowest path on TPU (~35 s measured);
+    the searchsorted boundary extraction replaces it at no cost."""
+    n = cols[0].shape[0] if cols else rank.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    rank_s, perm = jax.lax.sort_key_val(rank, iota, is_stable=True)
+    bounds = jnp.searchsorted(
+        rank_s, (jnp.arange(nparts, dtype=rank.dtype) * rank.dtype.type(
+            stride)), side="left", method="scan").astype(jnp.int64)
+    ends = jnp.concatenate([bounds[1:], jnp.full((1,), n, jnp.int64)])
+    hist = ends - bounds
     outs = tuple(c[perm] for c in cols)
-    return outs, perm, jnp.stack([hist.astype(jnp.int64),
-                                  offsets.astype(jnp.int64)])
+    return outs, perm, jnp.stack([hist, bounds])
 
 
 def _reorder(table: Table, jattr: int, buckets: jax.Array, nparts: int,
@@ -114,8 +120,9 @@ def _reorder(table: Table, jattr: int, buckets: jax.Array, nparts: int,
                 + rank_bias.astype(jnp.int64))
     num_cols = [c for c in table.columns
                 if not (isinstance(c, np.ndarray) and c.dtype == object)]
+    stride = bias_bound if rank_bias is not None else 1
     outs, perm, sizes_offsets_dev = _reorder_device(
-        tuple(jnp.asarray(c) for c in num_cols), (rank, buckets), nparts)
+        tuple(jnp.asarray(c) for c in num_cols), rank, nparts, stride)
     sizes_offsets = np.asarray(sizes_offsets_dev)
     # numeric columns gather AND STAY on device (the host tunnel moves
     # ~45 MB/s); string columns gather host-side

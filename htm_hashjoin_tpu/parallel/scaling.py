@@ -299,6 +299,35 @@ def main(argv=None) -> int:
                       p_["exchangeTimeUs"] / 1e3, p_["joinTimeUs"] / 1e3,
                       p_["repairTimeUs"] / 1e3, p_["totalTimeUs"] / 1e3,
                       p_["exact"], p_["efficiency"], p_["efficiencyShared"]))
+    md += [
+        "",
+        "## Reading the rows (round-4 structure)",
+        "",
+        "* **uniform / zipf rows** run the phase-split pipeline: one fused "
+        "bucketize (stable sort by destination) + all_to_all exchange "
+        "(flat) or the FUSED hierarchical variant (2x2/2x4: the same "
+        "single bucketize + chip-level all_to_all + transpose + "
+        "host-level all_to_all — no stage-2 re-sort), then the local "
+        "tagged-sort count, then the cooperative residual repair iff any "
+        "send bucket overflowed.",
+        "* **hierarchical ≈ flat** is the round-4 claim to check: at "
+        "equal device count the 2xN exchange column should sit within "
+        "~1.5x of the flat-N row (round 3 measured 2.9-6.7 s vs "
+        "1.1-1.9 s; the fused exchange removed the stage-2 "
+        "re-hash/re-sort).",
+        "* **zipf (skew off) rows at 8 devices** overflow the hot "
+        "destinations' send buckets, so the repair round fires and "
+        "dominates — that is the measured cost of NOT using the skew "
+        "plan, kept as the ablation.",
+        "* **zipf+skew rows** run the production plan for skewed data "
+        "(dist_join skew_handling: sampled heavy hitters never move; "
+        "hot matches come from two HOT_CAP-sized psums).  One fused "
+        "program — no phase split — and no repair: this is the row "
+        "family the ≥80% shared-efficiency target applies to.",
+        "* eff(shared) above 100% is real on a virtual mesh: sharded "
+        "sorts are O(n log n) on 1/N of the data per device, so N shards "
+        "do LESS total comparison work than the 1-device sort.",
+    ]
     with open(os.path.join(a.outDir, "SCALING.md"), "w") as f:
         f.write("\n".join(md) + "\n")
     print("\n".join(md))

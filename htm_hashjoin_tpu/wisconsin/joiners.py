@@ -228,6 +228,36 @@ def _dense_bounds_perm(probe_keys: jax.Array, kmin, kmax):
 
 
 @jax.jit
+def _flat_directory(keys_flat_order: jax.Array, zeros_l: jax.Array):
+    """Start/count directory over the keyspace for a FLAT-ORDER build
+    (FlatMemoryJoiner): start_tbl[k] = first flat position of key k,
+    cnt_tbl[k] = multiplicity.  Valid because equal keys are contiguous in
+    (bucket, key) order when bucket = hash(key)."""
+    n = keys_flat_order.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.full(zeros_l.shape, n, jnp.int32).at[keys_flat_order].min(
+        pos, mode="drop")
+    cnt = zeros_l.at[keys_flat_order].add(1, mode="drop")
+    return start, cnt
+
+
+@jax.jit
+def _flat_dense_bounds(start_tbl: jax.Array, cnt_tbl: jax.Array,
+                       probe_keys: jax.Array):
+    """Flat-order match ranges via two int32 gathers (see _dense_bounds;
+    same head = [total, pad-aware all_unit] contract)."""
+    k_max = start_tbl.shape[0] - 1
+    idx = jnp.clip(probe_keys, 0, k_max).astype(jnp.int32)
+    valid = (probe_keys >= 0) & (probe_keys <= k_max)
+    cnt = jnp.where(valid, cnt_tbl[idx], 0)
+    lo = jnp.where(valid & (cnt > 0), start_tbl[idx], 0)
+    hi = lo + cnt
+    total = jnp.sum(cnt.astype(jnp.int64))
+    all_unit = jnp.all((cnt == 1) | (probe_keys < 0)).astype(jnp.int64)
+    return lo, hi, jnp.stack([total, all_unit])
+
+
+@jax.jit
 def _partition_costs(lo, hi, starts, ends):
     counts = (hi - lo).astype(jnp.int64) + 1
     cum = jnp.concatenate([jnp.zeros((1,), jnp.int64), jnp.cumsum(counts)])
@@ -707,9 +737,18 @@ class FlatMemoryJoiner(BaseJoiner):
 
     def build(self, parts: PartitionedTable) -> None:
         """parts must come from the RadixPartitioner (driver wires this);
-        the flat array is its reordered table."""
+        the flat array is its reordered table.
+
+        Because bucket = hash(key) is a FUNCTION of the key, equal keys
+        are contiguous in the (bucket, key)-sorted flat array — so for a
+        dense bounded key range a start/count DIRECTORY over the keyspace
+        (two int32 scatters at build) answers every probe with gathers,
+        skipping the 272M-element int64 composite sort that exceeded the
+        chip's HBM at reference scale.  Sparse/wide keys keep the
+        composite path."""
         table = parts.table
-        keys = jnp.asarray(table.key_column(self.ja1)).astype(jnp.int64)
+        keys32 = jnp.asarray(table.key_column(self.ja1))
+        keys = keys32.astype(jnp.int64)
         buckets = self.partitioner.hashfn.hash(
             table.key_column(self.ja1)).astype(jnp.int64)
         comp = (buckets << 32) | (keys & 0xFFFFFFFF)
@@ -719,19 +758,35 @@ class FlatMemoryJoiner(BaseJoiner):
         self._build_table = table
         self.stats.build_rows = table.num_rows
         self.stats.bucket_count = self.partitioner.hashfn.buckets
+        self._flat_dir = None
+        if table.num_rows:
+            st = np.asarray(_build_key_stats(keys32, jnp.zeros((1,),
+                                                               jnp.int32)))
+            kmin, kmax = int(st[1]), int(st[2])
+            if 0 <= kmin and kmax < _DENSE_LIMIT \
+                    and kmax < max(16 * table.num_rows, 1 << 20):
+                tbl_len = next_pow2(kmax + 2)
+                kf = keys32.astype(jnp.int32)[order]
+                self._flat_dir = _flat_directory(
+                    kf, jnp.zeros((tbl_len,), jnp.int32))
 
     def probe(self, parts: PartitionedTable) -> Table:
         table = parts.table
+        self.stats.probe_rows = table.num_rows
+        payload_cols = [jnp.asarray(self._build_table.column(c))[self._order]
+                        for c in self.sel1]
+        if self._flat_dir is not None:
+            pkeys32 = jnp.asarray(table.key_column(self.ja2))
+            lo, hi, head = _flat_dense_bounds(*self._flat_dir, pkeys32)
+            tot = np.asarray(head)
+            return self._emit(table, lo, hi, int(tot[0]), payload_cols,
+                              unit_counts=bool(tot[1]))
         pkeys = jnp.asarray(table.key_column(self.ja2)).astype(jnp.int64)
         pbuckets = self.partitioner.hashfn.hash(
             table.key_column(self.ja2)).astype(jnp.int64)
         pcomp = (pbuckets << 32) | (pkeys & 0xFFFFFFFF)
         lo, hi, total = _match_bounds(self._flat_comp, pcomp)
-        total = int(total)
-        self.stats.probe_rows = table.num_rows
-        payload_cols = [jnp.asarray(self._build_table.column(c))[self._order]
-                        for c in self.sel1]
-        return self._emit(table, lo, hi, total, payload_cols)
+        return self._emit(table, lo, hi, int(total), payload_cols)
 
 
 # ---------------------------------------------------------------------------

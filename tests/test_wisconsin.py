@@ -686,3 +686,29 @@ def test_perm_build_certificate_bounds():
     _, _, head2 = _dense_bounds_perm(jnp.asarray(probe2), 5, 516)
     assert int(np.asarray(head2)[1]) == 0
     assert int(np.asarray(head2)[0]) == 777
+
+
+def test_flatmem_directory_route_matches_composite(tmp_path):
+    """FlatMemoryJoiner's dense start/count directory (two gathers) and
+    the (bucket<<32|key) composite sort must produce identical outputs —
+    including duplicate build keys, which void the unit certificate."""
+    import htm_hashjoin_tpu.wisconsin.joiners as J
+    conf = parse_conf_string(SMALL_CONF)
+    conf["algorithm"]["flatmem"] = "yes"
+    conf["partitioner"]["build"]["algorithm"] = "radix"
+    res = run_multijoin(conf, base_path=str(tmp_path))
+    assert res.output_rows == 16384
+    lim = J._DENSE_LIMIT
+    try:
+        J._DENSE_LIMIT = 0        # force the composite fallback
+        conf2 = parse_conf_string(SMALL_CONF)
+        conf2["algorithm"]["flatmem"] = "yes"
+        conf2["partitioner"]["build"]["algorithm"] = "radix"
+        res2 = run_multijoin(conf2, base_path=str(tmp_path))
+    finally:
+        J._DENSE_LIMIT = lim
+    assert res2.output_rows == res.output_rows
+    for col in (1, 2):
+        a = np.sort(np.asarray(res.output.column(col)[:res.output_rows]))
+        b = np.sort(np.asarray(res2.output.column(col)[:res2.output_rows]))
+        assert np.array_equal(a, b)

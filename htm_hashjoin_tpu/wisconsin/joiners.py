@@ -257,6 +257,25 @@ def _flat_dense_bounds(start_tbl: jax.Array, cnt_tbl: jax.Array,
     return lo, hi, jnp.stack([total, all_unit])
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _steal_cuts(occ, buckets, k: int):
+    """ProbeSteal's cost-balanced cut points, computed ON DEVICE: the
+    round-3 host formulation np.asarray'd the 2^28-element hash array
+    through the ~45 MB/s tunnel (~22 s) before a host cumsum; here only
+    the k-1 cut rows and the k chunk costs come back."""
+    cost = occ[buckets].astype(jnp.int64) + 1
+    prefix = jnp.cumsum(cost)
+    total = prefix[-1]
+    targets = (jnp.arange(1, k, dtype=jnp.int64) * total) // k
+    cuts = jnp.searchsorted(prefix, targets).astype(jnp.int64)
+    n = buckets.shape[0]
+    bounds = jnp.concatenate([jnp.zeros((1,), jnp.int64), cuts,
+                              jnp.full((1,), n, jnp.int64)])
+    cprefix = jnp.concatenate([jnp.zeros((1,), jnp.int64), prefix])
+    balance = cprefix[bounds[1:]] - cprefix[bounds[:-1]]
+    return bounds, balance
+
+
 @jax.jit
 def _partition_costs(lo, hi, starts, ends):
     counts = (hi - lo).astype(jnp.int64) + 1
@@ -516,15 +535,14 @@ class HashJoiner(BaseJoiner):
         schedule the reference's dynamic stealing converges to (each
         worker ends up with ≈ total/nthreads work)."""
         if self.steal:
-            occ = np.asarray(self._bucket_occ).astype(np.int64)
-            cost = occ[np.asarray(self.hashfn.hash(probe_keys))] + 1
-            prefix = np.cumsum(cost)
-            k = self.nthreads
-            targets = np.arange(1, k) * (prefix[-1] / k)
-            cuts = np.searchsorted(prefix, targets)
-            bounds = np.unique(np.concatenate([[0], cuts, [n]]))
-            cprefix = np.concatenate([[0], prefix])
-            self.stats.stolen_balance = np.diff(cprefix[bounds])
+            bounds_d, balance_d = _steal_cuts(
+                jnp.asarray(self._bucket_occ),
+                self.hashfn.hash(probe_keys), self.nthreads)
+            bb = np.asarray(jnp.concatenate(
+                [bounds_d, balance_d]))        # ONE small readback
+            k1 = self.nthreads + 1
+            bounds = np.unique(bb[:k1])
+            self.stats.stolen_balance = bb[k1:]
             return bounds, "probe_steal"
         bounds = np.concatenate([np.asarray(parts.offsets, np.int64), [n]])
         return np.unique(bounds), "probe_is_part"

@@ -54,6 +54,24 @@ def coords(grid: str, scale: int):
     return out
 
 
+def median(xs):
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else 0.5 * (s[m - 1] + s[m])
+
+
+def rep_logs(grid: str):
+    """All WARM repetition logs for a grid (logs 2..N; rep 1 carries the
+    compiles — the reference's runner.sh likewise reports from repeated
+    runs, experiments/runner.sh:3-41)."""
+    out = []
+    for r in range(2, 10):
+        p = os.path.join(OURS_DIR, f"{grid}_log{r}")
+        if os.path.exists(p):
+            out.append(parse_json_lines(p))
+    return out
+
+
 def parse_json_lines(path: str):
     with open(path) as f:
         return [json.loads(l) for l in f if l.strip().startswith("{")]
@@ -151,7 +169,9 @@ def main() -> int:
     out = ["# TPU engine vs reference: per-grid-point comparison",
            "",
            f"Ours: `{os.path.relpath(OURS_DIR, os.path.dirname(HERE))}/"
-           "<grid>_log2` (warm repetition), "
+           "<grid>_log2..N` — per-point times are MEDIANS over all warm "
+           "repetitions (rep 1 carries the compiles; rep counts per grid "
+           "in the summary table), "
            "TPU v5e single chip, one process per grid; per-point wall time "
            "includes one host<->TPU tunnel sync (~25-50 ms).",
            "Reference: committed logs at rSize = 2^27 on the paper's TSX "
@@ -160,11 +180,12 @@ def main() -> int:
            ""]
     summary = []
     for grid, ref_rel in GRID_REF_LOG.items():
-        ours_path = os.path.join(OURS_DIR, f"{grid}_log2")
         ref_path = os.path.join(REF_DIR, ref_rel)
-        if not (os.path.exists(ours_path) and os.path.exists(ref_path)):
+        reps = rep_logs(grid)
+        if not reps or not os.path.exists(ref_path):
             continue
-        ours = parse_json_lines(ours_path)
+        ours = reps[0]
+        REP_COUNTS[grid] = 1 + len(reps)   # incl. the compile rep
         our_scale = int(ours[0]["rSize"]).bit_length() - 1
         ours_c = coords(grid, our_scale)
         if grid == "motivation":
@@ -187,13 +208,23 @@ def main() -> int:
             if rt is None:
                 continue
             # the reference's timed span covers build+retry+probe
-            # (HTMHashBuild.hpp:94..310), so ours counts both phases too
+            # (HTMHashBuild.hpp:94..310), so ours counts both phases too.
+            # Each column is the MEDIAN over the warm repetitions (logs
+            # 2..N) — the r3 variance question (the 0.4x single-run dip)
+            # is answered by medians over >= 4 warm reps instead of one.
+            i = ours.index(d)
+            pts = [rep[i] for rep in reps if i < len(rep)]
+            ot = median([float(p_["hashBuildTimeInMicroseconds"])
+                         + float(p_.get("probeTimeInMicroseconds", 0.0))
+                         for p_ in pts])
             probe_us = float(d.get("probeTimeInMicroseconds", 0.0))
-            ot = float(d["hashBuildTimeInMicroseconds"]) + probe_us
             # single-run column: a pipelined point carries its single-run
             # (one-fence) time alongside; a non-pipelined point IS single-run
-            o1 = float(d.get("singleRunTimeInMicroseconds",
-                             d["hashBuildTimeInMicroseconds"])) + probe_us
+            o1 = median([float(p_.get("singleRunTimeInMicroseconds",
+                                      p_["hashBuildTimeInMicroseconds"]))
+                         + float(p_.get("probeTimeInMicroseconds", 0.0))
+                         for p_ in pts])
+            o1 -= probe_us + probe_us
             rmt = (1 << 27) / rt
             omt = float(d["rSize"]) / ot
             omt1 = float(d["rSize"]) / o1
@@ -242,11 +273,12 @@ def main() -> int:
             "sortmerge, repaired runs) report their single-run time in "
             "both columns.",
             "",
-            fmt_row(["grid", "paired points", "geomean x (pipe)",
+            fmt_row(["grid", "paired points", "reps", "geomean x (pipe)",
                      "geomean x (1run)"]),
-            fmt_row(["---"] * 4)]
+            fmt_row(["---"] * 5)]
     for grid, n, g, g1 in summary:
-        head.append(fmt_row([grid, n, f"{g:.1f}x", f"{g1:.1f}x"]))
+        head.append(fmt_row([grid, n, REP_COUNTS.get(grid, "?"),
+                             f"{g:.1f}x", f"{g1:.1f}x"]))
     out[4:4] = head + [""]
     out += skew_section() + extra_log_sections()
     dest = os.path.join(OURS_DIR, "COMPARISON.md")

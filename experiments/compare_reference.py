@@ -29,6 +29,7 @@ from htm_hashjoin_tpu.harness.grids import GRIDS  # noqa: E402
 HERE = os.path.dirname(os.path.abspath(__file__))
 OURS_DIR = sys.argv[1] if len(sys.argv) > 1 else os.path.join(HERE, "results_tpu")
 REF_DIR = "/root/reference/experiments"
+REP_COUNTS = {}
 
 GRID_REF_LOG = {
     "motivation": "new_backup/motivation_log1",

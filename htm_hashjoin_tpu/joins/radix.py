@@ -183,24 +183,32 @@ def radix_join(r: Relation, s: Optional[Relation] = None,
     if use_pallas_engine(cfg, s):
         import time
 
-        from .pallas_backend import banded_join_pipelined
+        from .pallas_backend import DEFAULT_TILE, banded_join_pipelined
 
-        from .common import keys_unique_both
+        from .common import (BandedPlan, keys_unique_both,
+                             maybe_pipeline_timing)
 
         interpret = jax.default_backend() == "cpu"
+        # The global sort exists ONLY to keep every tile's S band narrow.
+        # A probe side that fits inside one tile (the reference's own
+        # PRO benchmark shape: --s-size=2, motivation.sh:11) bounds every
+        # band by |S| regardless of R's order — tile-local sorted runs
+        # (the partition artifact, same contract as the build-only plans)
+        # are exact there at ~40% of the global sort's cost.
+        presort = (s.keys.shape[0] > DEFAULT_TILE)
         t0 = time.perf_counter()
-        out = banded_join_pipelined(r.keys, s.keys, presort=True,
+        out = banded_join_pipelined(r.keys, s.keys, presort=presort,
                                     sort_s=not s.assume_sorted,
                                     unique_both=keys_unique_both(cfg),
                                     interpret=interpret)
         elapsed_us = (time.perf_counter() - t0) * 1e6
-        from .common import BandedPlan
+        plan = BandedPlan(None, presort, False, None)
         m = pallas_metrics(cfg, "radix", out, elapsed_us, out.matches,
-                           plan=BandedPlan(None, True, False, None),
-                           sort_s=not s.assume_sorted)
+                           plan=plan, sort_s=not s.assume_sorted)
         m.partitionTimeInMicroseconds = elapsed_us
         m.extra["radixBits"] = cfg.radix_bits
         m.extra["numPasses"] = cfg.radix_passes
+        maybe_pipeline_timing(m, cfg, plan, r, s, out, interpret)
         return m
     rkeys, skeys = resolve_relations(r, s, cfg)
     use_mk = (cfg.backend != "xla" and jax.default_backend() != "cpu"

@@ -31,6 +31,14 @@ from ..ops.pallas.join_kernels import (MAXI32, OV_ROWS, banded_count,
 LANES = 128
 DEFAULT_TILE = 65536
 
+# The general count kernel's INLINE band budget: a tile whose S band needs
+# more chunks than this is flagged for the batched repair.  The kernel's
+# chunk loop is dynamic (any count streams fine); the budget only sizes the
+# S-side end padding and draws the inline/repair line.  16 keeps the
+# moderate-skew tiles (5-16 chunk bands at zipf θ≈0.75-1.0) on the ~17
+# stages/chunk inline path instead of paying the ~120 ms repair round.
+MAX_CHUNKS_DEFAULT = 16
+
 
 def to_tiles_2d(keys: jax.Array, tile: int) -> jax.Array:
     """Pad a 1-D key array with INT32_MAX to a tile multiple and reshape to
@@ -241,7 +249,7 @@ def _tile_minmax(r2d, rows_per_tile: int):
 
 
 def prepare_probe_side(skeys_sorted: jax.Array, tile: int = DEFAULT_TILE,
-                       max_chunks: int = 4) -> jax.Array:
+                       max_chunks: int = MAX_CHUNKS_DEFAULT) -> jax.Array:
     """Tile and end-pad sorted S once (reusable across probes).  Padding
     covers the general kernel's max_chunks window AND the narrow/fused
     kernels' OV_ROWS overhang past it (a row_off at the very end of S must
@@ -254,7 +262,7 @@ def prepare_probe_side(skeys_sorted: jax.Array, tile: int = DEFAULT_TILE,
 
 
 def banded_probe(build: BandedBuild, skeys_sorted: jax.Array, *,
-                 max_chunks: int = 4, interpret: bool = False,
+                 max_chunks: int = MAX_CHUNKS_DEFAULT, interpret: bool = False,
                  s2d: Optional[jax.Array] = None):
     """Probe phase: count matches of sorted S against the build artifact.
     Returns (matches, overflow_tiles)."""
@@ -286,7 +294,7 @@ def banded_probe(build: BandedBuild, skeys_sorted: jax.Array, *,
 def banded_join(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                 tile: int = DEFAULT_TILE,
                 locality_window: Optional[int] = None,
-                max_chunks: int = 4, interpret: bool = False):
+                max_chunks: int = MAX_CHUNKS_DEFAULT, interpret: bool = False):
     """Full build+probe.  Returns (matches, BandedBuild, overflow_tiles)."""
     build = banded_build(rkeys, tile=tile, locality_window=locality_window,
                          interpret=interpret)
@@ -386,7 +394,7 @@ def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
 def enqueue_banded_join(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                         tile: int = DEFAULT_TILE,
                         locality_window: Optional[int] = None,
-                        unique_both: bool = False, max_chunks: int = 4,
+                        unique_both: bool = False, max_chunks: int = MAX_CHUNKS_DEFAULT,
                         s2d: Optional[jax.Array] = None):
     """Enqueue one full optimistic build+probe on the device WITHOUT any
     host sync; returns the device result tuple (matches, violations,
@@ -529,7 +537,7 @@ def banded_build_pipelined(rkeys: jax.Array, *, tile: int = DEFAULT_TILE,
 
 
 def sort_probe_side(skeys: jax.Array, tile: int = DEFAULT_TILE,
-                    max_chunks: int = 4, interpret: bool = False):
+                    max_chunks: int = MAX_CHUNKS_DEFAULT, interpret: bool = False):
     """Globally sort an UNSORTED probe side on device (the zipf/fk/nonunique
     S relations arrive unsorted, mc/src/main.c:393-412) and produce the
     (skeys_sorted, s2d) pair the banded engine consumes.  Sorting S is the
@@ -584,7 +592,7 @@ def enqueue_full_join(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                       locality_window: Optional[int] = None,
                       presort: bool = False, presorted: bool = False,
                       sort_s: bool = False, unique_both: bool = False,
-                      max_chunks: int = 4, narrow: Optional[bool] = None,
+                      max_chunks: int = MAX_CHUNKS_DEFAULT, narrow: Optional[bool] = None,
                       interpret: bool = False,
                       s2d: Optional[jax.Array] = None):
     """Enqueue one full build+probe on ANY plan tier (unlike
@@ -608,7 +616,7 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                           locality_window: Optional[int] = None,
                           presort: bool = False, presorted: bool = False,
                           sort_s: bool = False, unique_both: bool = False,
-                          max_chunks: int = 4, narrow: Optional[bool] = None,
+                          max_chunks: int = MAX_CHUNKS_DEFAULT, narrow: Optional[bool] = None,
                           interpret: bool = False,
                           s2d: Optional[jax.Array] = None
                           ) -> BandedJoinOutcome:

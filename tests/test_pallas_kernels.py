@@ -109,8 +109,10 @@ def test_banded_join_locality_exact():
 def test_banded_join_shuffle_falls_back():
     """Globally shuffled tiles span the whole key range: every tile
     overflows its S-slice budget and the exact fallback covers it."""
+    # max_chunks=4 keeps this a fallback exercise (the default inline
+    # budget of 16 absorbs these bands at this tile size)
     m, _, ovf = banded_join(shuffled_keys(N, 0), sorted_keys(N), tile=2048,
-                            interpret=True)
+                            max_chunks=4, interpret=True)
     assert m == N
     assert ovf > 0
 
@@ -360,6 +362,6 @@ def test_mass_overflow_batched_gather_is_capped():
     r = shuffled_keys(N, 5)
     build = pb.banded_build(r, tile=2048, interpret=True)
     s = sorted_keys(N)
-    m, ovf = pb.banded_probe(build, s, interpret=True)
+    m, ovf = pb.banded_probe(build, s, max_chunks=4, interpret=True)
     assert m == N
     assert ovf > (N // 2048) // 8     # mass overflow regime reached

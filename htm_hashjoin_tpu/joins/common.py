@@ -303,15 +303,17 @@ def maybe_pipeline_timing(m: JoinMetrics, cfg: JoinConfig, plan, r: Relation,
 
 def _gsort_pass_count(n: int, tile: int = 65536) -> int:
     """Full HBM read+write passes of the grouped bitonic global sort over an
-    n-element relation (pow2-padded tiles): 1 phase-A pass plus
-    ceil(level/GSORT_BITS) per cross-tile level.  Kept in terms of
-    GSORT_BITS so the traffic model tracks the kernel structure."""
-    from ..ops.pallas.join_kernels import GSORT_BITS
+    n-element relation (pow2-padded tiles): 1 phase-A pass (which absorbs
+    the cross-tile levels 1..GSORT_PHASE_A_BITS in VMEM) plus
+    ceil(level/GSORT_BITS) per remaining level — matching
+    global_sort_tiles' loop exactly (its levels run pa_bits+1..levels)."""
+    from ..ops.pallas.join_kernels import GSORT_BITS, GSORT_PHASE_A_BITS
     n_tiles = max(1, (n + tile - 1) // tile)
     n_tiles = 1 << (n_tiles - 1).bit_length()
     levels = n_tiles.bit_length() - 1
+    pa_bits = min(GSORT_PHASE_A_BITS, levels)
     return 1 + sum((j + GSORT_BITS - 1) // GSORT_BITS
-                   for j in range(1, levels + 1))
+                   for j in range(pa_bits + 1, levels + 1))
 
 
 def plan_traffic_bytes(cfg: JoinConfig, plan: "BandedPlan", probing: bool,

@@ -80,10 +80,29 @@ def _dial_key(r: Relation, cfg: JoinConfig, probing: bool):
             cfg.shuffle_range, probing)
 
 
-def _dial_remember(key, plan, est):
+def _dial_lookup(key, keys_arr):
+    """Cache hit only when the stored weakref still points at THE SAME
+    live buffer — id() alone can be reused by CPython after GC, silently
+    serving another relation's plan/sniff stats (ADVICE r4 #4)."""
+    ent = _DIAL_CACHE.get(key)
+    if ent is None:
+        return None
+    ref, plan, est = ent
+    if ref() is not keys_arr:
+        del _DIAL_CACHE[key]
+        return None
+    return plan, est
+
+
+def _dial_remember(key, keys_arr, plan, est):
+    import weakref
     if len(_DIAL_CACHE) >= _DIAL_CACHE_CAP:
         _DIAL_CACHE.pop(next(iter(_DIAL_CACHE)))
-    _DIAL_CACHE[key] = (plan, est)
+    try:
+        ref = weakref.ref(keys_arr)
+    except TypeError:      # non-weakrefable array stand-ins (tests)
+        ref = (lambda a: (lambda: a))(keys_arr)
+    _DIAL_CACHE[key] = (ref, plan, est)
 
 
 def _htm_join_pallas_adaptive(r: Relation, s: Relation,
@@ -109,7 +128,7 @@ def _htm_join_pallas_adaptive(r: Relation, s: Relation,
     interpret = jax.default_backend() == "cpu"
     sort_s = not s.assume_sorted
     ck = _dial_key(r, cfg, True)
-    cached = _DIAL_CACHE.get(ck)
+    cached = _dial_lookup(ck, r.keys)
     if cached is not None:
         plan, est = cached
         t0 = time.perf_counter()
@@ -137,10 +156,16 @@ def _htm_join_pallas_adaptive(r: Relation, s: Relation,
                             unique_both=keys_unique_both(cfg),
                             interpret=interpret)
     bundle = np.asarray(jnp.concatenate(
-        [jnp.stack(res[:5]).astype(jnp.int64),
+        [jnp.stack(res[:5] + (res[9],)).astype(jnp.int64),
          sniff_dev.astype(jnp.int64)]))                    # the ONE fence
-    matches_i, viols_i, flagged, out_sum, in_sum, mx, dups = (
+    matches_i, viols_i, flagged, out_sum, in_sum, visits, mx, dups = (
         int(x) for x in bundle)
+    if visits * (2 << 16) >= (1 << 31):
+        # coarse int32-accumulator certificate tripped (see
+        # pallas_backend._acc_unsafe): treat like an abort — the dialed
+        # repair reruns through the self-checking pipeline, which applies
+        # the tight certificate and reroutes to tagged_count if needed
+        flagged = max(flagged, 1)
     est = sniff_stats_dict(mx, dups, chunk, k)
     window = dial_window(mx, chunk)
     est["windowEstimate"] = None if window >= (1 << 30) else window
@@ -169,7 +194,7 @@ def _htm_join_pallas_adaptive(r: Relation, s: Relation,
     elapsed_us = (time.perf_counter() - t0) * 1e6
     m = pallas_metrics(cfg, "htm", out, elapsed_us, out.matches, plan=plan,
                        sort_s=sort_s)
-    _dial_remember(ck, plan, est)
+    _dial_remember(ck, r.keys, plan, est)
     m.extra["adaptivePlan"] = _dialed_plan_extra(plan, est)
     m.extra["adaptiveTransactionSizeFinal"] = max(1, plan.window or 4096)
     maybe_pipeline_timing(m, cfg, plan, r, s, pipe_ref, interpret)
@@ -190,7 +215,7 @@ def _htm_build_pallas_adaptive(cfg: JoinConfig, r: Relation) -> JoinMetrics:
 
     interpret = jax.default_backend() == "cpu"
     ck = _dial_key(r, cfg, False)
-    cached = _DIAL_CACHE.get(ck)
+    cached = _dial_lookup(ck, r.keys)
     if cached is not None:
         plan, est = cached
         t0 = time.perf_counter()
@@ -233,7 +258,7 @@ def _htm_build_pallas_adaptive(cfg: JoinConfig, r: Relation) -> JoinMetrics:
         pipe_ref = out
     elapsed_us = (time.perf_counter() - t0) * 1e6
     m = pallas_metrics(cfg, "htm", out, elapsed_us, None, plan=plan)
-    _dial_remember(ck, plan, est)
+    _dial_remember(ck, r.keys, plan, est)
     m.extra["adaptivePlan"] = _dialed_plan_extra(plan, est)
     m.extra["adaptiveTransactionSizeFinal"] = max(1, plan.window or 4096)
     maybe_pipeline_timing(m, cfg, plan, r, None, pipe_ref, interpret)

@@ -213,6 +213,15 @@ def _overflow_tile_matches(sorted2d, skeys_sorted, bad_tiles, off_np, end_np,
     row_off = off // LANES
     rows_needed = jnp.maximum((end + LANES - 1) // LANES - row_off, 0)
     n_chunks = (rows_needed + rows_per_tile - 1) // rows_per_tile
+    # the repair's chunk counts are data-driven and UNBOUNDED, so the
+    # int32 per-position accumulator needs its certificate enforced here
+    # (ADVICE r4 #2: a heavy hitter with ~2^24 copies on each side can
+    # push one position past 2^31): coarse visit bound, then tight
+    # max-duplicate bound, else the skew-oblivious tagged count
+    visits = int(np.asarray(_sum_i64(n_chunks)))
+    if _acc_unsafe(visits, b, skeys_sorted, tile):
+        return int(tagged_count(flat, skeys_sorted, tile=tile,
+                                interpret=interpret))
     if s2d is None:
         s2d = prepare_probe_side(skeys_sorted, tile)
     counts = banded_count(bad2d, s2d, row_off.astype(jnp.int32),
@@ -233,6 +242,34 @@ def _slice_offsets(skeys_sorted, mins, maxs):
 @jax.jit
 def _sum_i64(x):
     return jnp.sum(x.astype(jnp.int64))
+
+
+@jax.jit
+def _max_run_length(sorted_keys: jax.Array) -> jax.Array:
+    """Longest equal-key run in a sorted stream — the maximum S-side
+    duplicate multiplicity.  The TIGHT per-position accumulator bound of
+    the banded count kernels: a merged-buffer position's total int32
+    contribution is <= (#tiles it serves) x (its key's S multiplicity), so
+    n_tiles * max_run < 2^31 certifies the int32 accumulator exactly
+    (join_kernels._count_megakernel acc)."""
+    n = sorted_keys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                             sorted_keys[1:] != sorted_keys[:-1]])
+    run_start = jax.lax.cummax(jnp.where(start, idx, -1))
+    return jnp.max(idx - run_start).astype(jnp.int64) + 1
+
+
+def _acc_unsafe(visits: int, n_tiles: int, skeys_sorted,
+                tile: int) -> bool:
+    """Two-tier int32-accumulator certificate (ADVICE r4 #2): coarse
+    visit-count bound first (free), tight max-duplicate bound only when
+    the coarse one trips (one extra device pass, rare)."""
+    per_visit = 2 * tile   # merged buffer positions upper bound
+    if visits * per_visit < (1 << 31):
+        return False
+    max_run = int(np.asarray(_max_run_length(skeys_sorted)))
+    return n_tiles * max_run >= (1 << 31)
 
 
 @functools.partial(jax.jit, static_argnames=("rows_per_tile",))
@@ -274,9 +311,16 @@ def banded_probe(build: BandedBuild, skeys_sorted: jax.Array, *,
     row_off = off // LANES
     end_row = (end + LANES - 1) // LANES
     rows_needed = jnp.maximum(end_row - row_off, 0)
-    n_chunks = (rows_needed + rows_per_tile - 1) // rows_per_tile
-    overflow = np.asarray(n_chunks > max_chunks)
-    n_chunks_clipped = jnp.where(overflow, 0, n_chunks).astype(jnp.int32)
+    n_chunks_np = np.asarray((rows_needed + rows_per_tile - 1)
+                             // rows_per_tile)
+    overflow = n_chunks_np > max_chunks
+    visits = int(n_chunks_np[~overflow].sum())
+    if _acc_unsafe(visits, int(n_chunks_np.shape[0]), skeys_sorted, tile):
+        m = int(tagged_count(build.sorted2d.reshape(-1), skeys_sorted,
+                             tile=tile, interpret=interpret))
+        return m, int(overflow.sum())
+    n_chunks_clipped = jnp.asarray(np.where(overflow, 0, n_chunks_np)
+                                   .astype(np.int32))
     counts = banded_count(build.sorted2d, s2d, row_off.astype(jnp.int32),
                           n_chunks_clipped, tile=tile,
                           max_chunks=max_chunks, interpret=interpret)
@@ -355,8 +399,11 @@ def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
         matches = _sum_i64(counts)
         out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
         in_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
+        # accumulator-certificate visit count (see _acc_unsafe): the
+        # narrow/fused kernels do one bounded merge per tile
+        visits = jnp.full((), r2d.shape[0] * LANES // tile, jnp.int64)
         return (matches, _sum_i64(viols), _sum_i64(bad), out_sum, in_sum,
-                sorted2d, off, end, bad)
+                sorted2d, off, end, bad, visits)
     if method == "presorted":     # globally sorted input is tile-sorted
         sorted2d = r2d
         mins, maxs, viols = tile_stats(sorted2d, rows_per_tile)
@@ -376,6 +423,7 @@ def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
             rows_needed.astype(jnp.int32), tile=tile,
             unique_both=unique_both, interpret=interpret)
         bad = flags[:, 0] > 0
+        visits = jnp.full((), r2d.shape[0] * LANES // tile, jnp.int64)
     else:
         n_chunks = (rows_needed + rows_per_tile - 1) // rows_per_tile
         bad = n_chunks > max_chunks
@@ -384,11 +432,12 @@ def _banded_join_device(r2d: jax.Array, s2d: jax.Array,
                               n_chunks_clipped, tile=tile,
                               max_chunks=max_chunks,
                               unique_both=unique_both, interpret=interpret)
+        visits = _sum_i64(n_chunks_clipped)
     matches = _sum_i64(counts)
     out_sum = _sum_i64(jnp.where(sorted2d == MAXI32, 0, sorted2d))
     in_sum = _sum_i64(jnp.where(r2d == MAXI32, 0, r2d))
     return (matches, _sum_i64(viols), _sum_i64(bad), out_sum, in_sum,
-            sorted2d, off, end, bad)
+            sorted2d, off, end, bad, visits)
 
 
 def enqueue_banded_join(rkeys: jax.Array, skeys_sorted: jax.Array, *,
@@ -650,9 +699,10 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                               method=method, passes=passes,
                               max_chunks=max_chunks, unique_both=unique_both,
                               narrow=narrow, interpret=interpret)
-    matches, viols, overflow, out_sum, in_sum, sorted2d, off, end, bad = res
+    (matches, viols, overflow, out_sum, in_sum, sorted2d, off, end, bad,
+     visits) = res
     bundle = np.asarray(jnp.stack([matches, viols, overflow, out_sum,
-                                   in_sum]))
+                                   in_sum, visits]))
     resorted = False
     viols_i = int(bundle[1])   # abort count survives the retry (the
                                # failedTransactions analog must report the
@@ -663,13 +713,24 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                                   max_chunks=max_chunks,
                                   unique_both=unique_both, narrow=narrow,
                                   interpret=interpret)
-        matches, viols, overflow, out_sum, in_sum, sorted2d, off, end, bad = res
+        (matches, viols, overflow, out_sum, in_sum, sorted2d, off, end,
+         bad, visits) = res
         bundle = np.asarray(jnp.stack([matches, viols, overflow, out_sum,
-                                       in_sum]))
+                                       in_sum, visits]))
         resorted = True
     matches_i = int(bundle[0])
     overflow_i = int(bundle[2])
     n_tiles = r2d.shape[0] // (tile // LANES)
+    if _acc_unsafe(int(bundle[5]), n_tiles, skeys_sorted, tile):
+        # inline int32 accumulator not certified for this data (extreme
+        # duplicate mass): recount everything with the skew-oblivious
+        # tagged sort — exactness over the optimistic fast path
+        # (CLAUDE.md invariant: fast-path assumptions certified or
+        # checked with a repair path)
+        matches_i = int(tagged_count(rkeys, skeys_sorted, tile=tile,
+                                     interpret=interpret))
+        return BandedJoinOutcome(matches_i, viols_i, overflow_i,
+                                 int(bundle[3]), True, int(bundle[4]))
     if overflow_i > max(4, n_tiles // 8):
         # mass overflow means the plan was wrong for this data: bands wider
         # than the kernel certifies everywhere — a mis-sized locality window

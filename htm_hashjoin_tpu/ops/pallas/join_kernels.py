@@ -846,8 +846,13 @@ def _count_megakernel(row_off_smem, n_chunks_smem, r_hbm, s_hbm, out_ref,
     merged_rows = 2 * rows_per_tile
     # per-position contribution accumulator, folded to (8,128) ONCE at the
     # end — saves the log(merged_rows) roll-add tree per chunk.  int32 is
-    # safe: a position's contribution is <= tile size (2^16) per chunk and
-    # there are <= n_tiles * max_chunks <= 2^13 chunk visits → < 2^29.
+    # NOT unconditionally safe (the chunk loop is data-driven and callers
+    # may pass unbounded n_chunks): a position's total is bounded by
+    # (chunk visits) x (merged rows x lanes) coarsely, and tightly by
+    # (#tiles) x (max S duplicate multiplicity).  Every caller certifies
+    # one of these before trusting the count (pallas_backend._acc_unsafe;
+    # joins/htm.py dial bundle) and reroutes to the skew-oblivious
+    # tagged_count otherwise — the abort-safety invariant of CLAUDE.md.
     acc[:] = jnp.zeros((merged_rows, LANES), jnp.int32)
     two = jnp.int32(2)
     # hoisted vector constants: Mosaic recurses on scalar where-branches and

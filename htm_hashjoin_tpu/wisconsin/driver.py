@@ -64,6 +64,7 @@ class MultijoinResult:
             # order vs ProbeSteal cost-balanced chunks, probe.inl:18-52)
             line["probeSchedule"] = {
                 "policy": sched["policy"],
+                "route": sched.get("route", ""),
                 "units": len(sched["units"]),
                 "workerMicros": [round(x, 1)
                                  for x in sched["worker_micros"]],

@@ -35,6 +35,23 @@ class HashFunction:
         # reference: k==0 or k==1 -> _k = 1 (i.e. 2 buckets); else ceil log2
         self._log2k = 1 if k <= 1 else _log2_next_pow2(k)
 
+    def fingerprint(self) -> tuple:
+        """Structural identity: two factory-built hash functions with equal
+        fingerprints map every key to the same bucket.  The driver builds
+        the build- and probe-side partitioners from the SAME conf node
+        (partitioner.hash) but as distinct objects; the joiner's
+        partition-local probe gate (probe unit p searches only build
+        partition p, probe.inl:18-36) keys on this."""
+        return (type(self).__name__, self._min, self._max, self._log2k,
+                getattr(self, "_skipbits", 0))
+
+    def __eq__(self, other):
+        return (isinstance(other, HashFunction)
+                and self.fingerprint() == other.fingerprint())
+
+    def __hash__(self):
+        return hash(self.fingerprint())
+
     @property
     def buckets(self) -> int:
         return 1 << self._log2k

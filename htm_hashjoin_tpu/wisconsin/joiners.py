@@ -166,7 +166,17 @@ def _keys_absmax(a, b):
     return m
 
 
-_I32_COMP_LIMIT = 1 << 30        # |key|*2+1 must stay in int32
+_I32_COMP_LIMIT = (1 << 30) - 1  # |key|*2+1 must stay in int32, with one
+# value spare at each end for the schedule pads below (a probe pad must
+# sort strictly below, and a build-slice pad strictly above, every
+# certified key — at exactly 2^30-1 the pad composite would collide)
+
+# Schedule padding sentinels: probe pads sort below / match nothing; build
+# pads sort above every certified real key (see _block_bounds_local).
+_PAD_PROBE_I32 = -((1 << 30) - 1)
+_PAD_BUILD_I32 = (1 << 30) - 1
+_PAD_PROBE_I64 = -((1 << 62) - 1)   # composite pad*2+1 must not wrap int64
+_PAD_BUILD_I64 = (1 << 62) - 1
 
 # Dense-key rank table: eligible when build keys lie in [0, K] with K small
 # enough that a (K+1)-entry table is cheap (≤ 16x the build side and ≤ 2^26
@@ -310,6 +320,158 @@ def _match_bounds(sorted_keys: jax.Array, probe_keys: jax.Array,
     if key_bound < _I32_COMP_LIMIT:
         return _match_bounds_i32(sorted_keys, probe_keys)
     return _match_bounds_i64(sorted_keys, probe_keys)
+
+
+# ---------------------------------------------------------------------------
+# Worker-block probe programs (the scheduled-probe engine)
+#
+# A scheduled probe (ProbeIsPart / ProbeSteal) decomposes the probe into
+# units; units are grouped into <= nthreads CONTIGUOUS row-balanced blocks,
+# one per worker, and each worker's whole block runs as ONE device program.
+# The round-3/4 design dispatched one program per UNIT — at the canonical
+# 2048-partition confs that was ~2048 tunnel dispatches (~4 ms each, ~8 s
+# of pure dispatch overhead on a 3 s probe).  Per-unit totals come from a
+# boundary cumsum inside the block program, so the measured per-unit
+# schedule survives with 8 dispatches and one pipelined fence.
+# ---------------------------------------------------------------------------
+
+def _unit_totals(lo, hi, ubounds):
+    """Per-unit match totals from flat per-row bounds: one cumsum + a
+    gather at the unit boundaries (ubounds = U+1 row offsets, clamped)."""
+    counts = (hi - lo).astype(jnp.int64)
+    cum = jnp.concatenate([jnp.zeros((1,), jnp.int64),
+                           jnp.cumsum(counts)])
+    ub = ubounds.astype(jnp.int32)
+    return cum[ub[1:]] - cum[ub[:-1]]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _block_bounds_perm(W: int, pk_pad, start, ubounds, kmin, kmax):
+    """Worker block under the permutation-build certificate: bounds are
+    pure arithmetic (no table, no gather — the partition-local property is
+    free: a probe key computes its global build rank directly)."""
+    seg = jax.lax.dynamic_slice(pk_pad, (start,), (W,))
+    lo, hi, head = _dense_bounds_perm(seg, kmin, kmax)
+    return lo, hi, jnp.concatenate([_unit_totals(lo, hi, ubounds), head])
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _block_bounds_dense(W: int, pk_pad, start, ubounds, cum, cnt_tbl):
+    """Worker block over the dense rank directory (two int32 gathers per
+    row — already O(1)/probe independent of build size)."""
+    seg = jax.lax.dynamic_slice(pk_pad, (start,), (W,))
+    lo, hi, head = _dense_bounds(cum, cnt_tbl, seg)
+    return lo, hi, jnp.concatenate([_unit_totals(lo, hi, ubounds), head])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _block_bounds_sorted(W: int, use_i32: bool, pk_pad, start, ubounds,
+                         sorted_keys):
+    """Worker block against the full key-sorted build (the
+    ProbeIsNotPart-style search, used when the probe decomposition is not
+    co-partitioned with the build): ONE tagged sort of (build || block)
+    per worker instead of one per unit."""
+    seg = jax.lax.dynamic_slice(pk_pad, (start,), (W,))
+    dt = jnp.int32 if use_i32 else jnp.int64
+    lo, hi, t = _match_bounds_tagged(sorted_keys, seg, dt)
+    head = jnp.stack([t, jnp.zeros((), jnp.int64)])
+    return lo, hi, jnp.concatenate([_unit_totals(lo, hi, ubounds), head])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _block_bounds_local(W: int, U: int, BP: int, PP: int, use_i32: bool,
+                        pk_pad, start, ubounds, bkeys_ps, b0, blen, g_of_l):
+    """Partition-LOCAL worker block: probe unit u searches ONLY build
+    partition u's slice (probe.inl:18-36; partitioner.cpp:443-520 makes
+    the co-partitioned slice cache-resident — here VMEM-resident).
+
+    The build side is sorted by (partition, key) (`bkeys_ps`); unit u's
+    slice starts at b0[u] with blen[u] rows, padded to BP with a sentinel
+    that sorts above every certified key.  A vmapped tagged sort computes
+    slice-local bounds; local ranks map to GLOBAL key-sorted ranks through
+    ``g_of_l`` (global rank of each part-sorted row) — valid because both
+    sorts are stable and equal keys share one partition under the
+    co-partitioning certificate, so a key's run maps monotonically."""
+    # matrices live in the COMPOSITE dtype so the pad sentinels always
+    # sit strictly outside the certified key domain regardless of the
+    # (possibly downcast) storage dtype of the key arrays
+    dt = jnp.int32 if use_i32 else jnp.int64
+    pad_b = jnp.asarray(_PAD_BUILD_I32 if use_i32 else _PAD_BUILD_I64, dt)
+    pad_p = jnp.asarray(_PAD_PROBE_I32 if use_i32 else _PAD_PROBE_I64, dt)
+    seg = jax.lax.dynamic_slice(pk_pad, (start,), (W,))
+    ub0 = ubounds[:-1].astype(jnp.int32)
+    ulen = (ubounds[1:] - ubounds[:-1]).astype(jnp.int32)
+    j = jnp.arange(PP, dtype=jnp.int32)
+    pvalid = j[None, :] < ulen[:, None]
+    pidx = jnp.minimum(ub0[:, None] + j[None, :], jnp.int32(W - 1))
+    pmat = jnp.where(pvalid, seg[pidx].astype(dt), pad_p)
+    i = jnp.arange(BP, dtype=jnp.int32)
+    nb = bkeys_ps.shape[0]
+    bvalid = i[None, :] < blen[:, None].astype(jnp.int32)
+    bidx = jnp.minimum(b0[:, None].astype(jnp.int32) + i[None, :],
+                       jnp.int32(max(0, nb - 1)))
+    bmat = jnp.where(bvalid, bkeys_ps[bidx].astype(dt), pad_b)
+    lo_l, hi_l, _ = jax.vmap(
+        lambda bk, pk: _match_bounds_tagged(bk, pk, dt))(bmat, pmat)
+    cnt = hi_l - lo_l
+    gidx = jnp.minimum(b0[:, None].astype(jnp.int32) + lo_l,
+                       jnp.int32(max(0, nb - 1)))
+    lo_g = jnp.where(cnt > 0, g_of_l[gidx], 0)
+    hi_g = lo_g + cnt
+    # scatter the (U, PP) unit matrices back to the flat (W,) block layout
+    flat_pos = jnp.where(pvalid, ub0[:, None] + j[None, :], jnp.int32(W))
+    lo = jnp.zeros((W,), jnp.int32).at[flat_pos.reshape(-1)].set(
+        lo_g.reshape(-1), mode="drop")
+    hi = jnp.zeros((W,), jnp.int32).at[flat_pos.reshape(-1)].set(
+        hi_g.reshape(-1), mode="drop")
+    total = jnp.sum(jnp.where(pvalid, cnt, 0).astype(jnp.int64))
+    all_unit = jnp.all((cnt == 1) | ~pvalid).astype(jnp.int64)
+    return lo, hi, jnp.concatenate([_unit_totals(lo, hi, ubounds),
+                                    jnp.stack([total, all_unit])])
+
+
+def _balance_unit_blocks(units, k: int):
+    """Group the ordered units into <= k contiguous blocks with ~equal row
+    counts — the static owner schedule (each worker ends up with ~1/k of
+    the probe rows, what the reference's per-thread partition walk
+    converges to; SURVEY.md §2.4 P8)."""
+    n_units = len(units)
+    if n_units <= k:
+        return [(i, i + 1) for i in range(n_units)]
+    rows = np.array([b - a for a, b in units], np.int64)
+    cum = np.concatenate([[0], np.cumsum(rows)])
+    total = int(cum[-1])
+    cuts = [0]
+    for w in range(1, k):
+        t = w * total // k
+        j = int(np.searchsorted(cum, t))
+        cuts.append(min(max(j, cuts[-1] + 1), n_units - (k - w)))
+    cuts.append(n_units)
+    return [(a, b) for a, b in zip(cuts[:-1], cuts[1:]) if b > a]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _part_sorted_build(keys_part_order, n_parts: int, offsets):
+    """(partition, key)-sorted build layout + the local->global rank map.
+
+    keys arrive grouped by partition (the split's layout); pid per row
+    falls out of a scatter-max of partition ids at the partition starts +
+    cummax (no searchsorted — 16M binary-search gathers are TPU's slow
+    path).  Returns (bkeys_ps, g_of_l): the part-sorted keys and, for each
+    part-sorted position, its rank in the GLOBAL key sort."""
+    n = keys_part_order.shape[0]
+    marks = jnp.zeros((n,), jnp.int32).at[offsets.astype(jnp.int32)].max(
+        jnp.arange(n_parts, dtype=jnp.int32), mode="drop")
+    pid = jax.lax.cummax(marks)
+    # (pid, key, original pos) lexicographic order via two STABLE argsorts
+    # (works for any key dtype — no packed composite, no range limit)
+    order_g = jnp.argsort(keys_part_order, stable=True)
+    order_p = order_g[jnp.argsort(pid[order_g], stable=True)]
+    bkeys_ps = keys_part_order[order_p]
+    inv_g = jnp.zeros((n,), jnp.int32).at[order_g].set(
+        jnp.arange(n, dtype=jnp.int32))
+    g_of_l = inv_g[order_p]
+    return bkeys_ps, g_of_l
 
 
 # ---------------------------------------------------------------------------
@@ -472,6 +634,7 @@ class HashJoiner(BaseJoiner):
         self.stats.build_rows = table.num_rows
         self.stats.bucket_count = self.hashfn.buckets
         self._dense_tbl = None
+        self._perm_build = False
         self._key_bound = _I32_COMP_LIMIT
         if table.num_rows:
             st = np.asarray(_build_key_stats(keys, occ))  # ONE fence
@@ -498,6 +661,16 @@ class HashJoiner(BaseJoiner):
         self._build_keys_sorted = keys[order]
         self._build_perm = order               # StorePointer: the "pointers"
         self._build_table = table
+        # co-partitioning metadata for partition-LOCAL probes: when the
+        # probe side is split by the same hash on the join attribute,
+        # probe unit p searches only build partition p (probe.inl:18-36)
+        self._build_parts_meta = None
+        self._plocal = None
+        if parts.nparts > 1 and parts.part_hash is not None:
+            self._build_parts_meta = (
+                parts.part_hash, parts.part_attr,
+                np.asarray(parts.offsets, np.int64),
+                np.asarray(parts.sizes, np.int64))
         if self.storage == "copy":
             # early materialization: gather payload columns into build order
             # (numeric on device, strings host-side)
@@ -551,15 +724,60 @@ class HashJoiner(BaseJoiner):
         bounds = np.concatenate([np.asarray(parts.offsets, np.int64), [n]])
         return np.unique(bounds), "probe_is_part"
 
+    def _probe_route(self, parts: PartitionedTable, units, policy: str):
+        """Pick the bounds route for a scheduled probe, cheapest first:
+        'perm' (arithmetic, permutation-build certificate), 'dense' (rank
+        directory gathers), 'local' (co-partitioned build: unit p searches
+        ONLY build partition p's slice), 'sorted' (full-build tagged sort
+        per worker — the ProbeIsNotPart-style search)."""
+        if getattr(self, "_perm_build", False):
+            return "perm"
+        if self._dense_tbl is not None:
+            return "dense"
+        meta = self._build_parts_meta
+        if (policy == "probe_is_part"   # steal chunks cross partitions
+                and meta is not None and parts.part_hash is not None
+                and parts.part_hash == meta[0]
+                and parts.part_attr == self.ja2 and meta[1] == self.ja1
+                and parts.nparts == len(meta[3])):
+            # co-partitioned: same hash fingerprint on both join attrs.
+            # Guard the (U, PP) unit matrices against pathological skew
+            # (one unit ~ the whole probe): fall back to 'sorted' sooner
+            # than materializing a quadratic pad.
+            max_unit = max(b - a for a, b in units)
+            if len(units) * next_pow2(max_unit) <= (1 << 27):
+                return "local"
+        return "sorted"
+
+    def _plocal_arrays(self):
+        """Lazy (partition, key)-sorted build layout for the local route
+        (built once; the reference's BuildIsPart private tables are
+        likewise per-partition artifacts of the build phase)."""
+        if self._plocal is None:
+            _, _, offs, szs = self._build_parts_meta
+            keys_po = jnp.asarray(
+                self._build_table.key_column(self.ja1)).astype(
+                    self._build_keys_sorted.dtype)
+            bkeys_ps, g_of_l = _part_sorted_build(
+                keys_po, len(offs), jnp.asarray(offs))
+            self._plocal = (bkeys_ps, g_of_l)
+        return self._plocal
+
     def _scheduled_probe(self, parts: PartitionedTable, probe_keys,
                          n: int):
-        """REAL per-unit probe execution (not a simulation): each schedule
-        unit runs as its own device program with a fenced timing readback,
-        so the stats carry MEASURED unit times.  ProbeIsPart and ProbeSteal
-        produce different decompositions (different measured schedules) and
-        identical results.  Units are padded to one shared static shape so
-        a single compiled program serves the whole schedule (the per-unit
-        fence is the TPU analog of the reference's per-task overhead)."""
+        """REAL scheduled probe execution: the units are grouped into
+        <= nthreads contiguous row-balanced blocks, each worker's block
+        runs as ONE device program (per-unit totals fall out of a boundary
+        cumsum inside it), and the k block programs are enqueued
+        back-to-back with PIPELINED head readbacks — worker w's readback
+        overlaps workers w+1..k-1's device execution, so the schedule pays
+        ~one tunnel fence instead of k (~25 ms each; the round-3 per-UNIT
+        fence design cost ~55 s of pure round trips on a 2048-partition
+        probe).  Worker spans are the measured completion deltas of the
+        device-serialized block programs — the per-thread rdtsc span
+        analog (main.cpp:75-94); per-unit micros apportion each worker's
+        span by unit rows.  ProbeIsPart and ProbeSteal produce different
+        decompositions (different measured schedules), identical results."""
         import time
 
         from ..utils.profiler import sync_stats
@@ -567,76 +785,127 @@ class HashJoiner(BaseJoiner):
         bounds, policy = self._schedule_bounds(parts, probe_keys, n)
         units = [(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])
                  if b > a]
-        pad_len = max(8, next_pow2(max(b - a for a, b in units)))
-        pad = jnp.full((pad_len,), -1, probe_keys.dtype)   # matches nothing
-        if self._dense_tbl is not None:
-            if getattr(self, "_perm_build", False):
-                # arithmetic bounds per unit: no gathers at all
-                def unit_bounds(seg):
-                    return _dense_bounds_perm(seg, self._kmin, self._kmax)
-            else:
-                def unit_bounds(seg):
-                    return _dense_bounds(*self._dense_tbl, seg)
-        else:
-            # certify the int32 composite ONCE for the whole schedule (a
-            # per-unit certification readback would add ~25 ms per unit)
-            kb = (int(_keys_absmax(self._build_keys_sorted, probe_keys))
-                  if probe_keys.dtype.itemsize <= 4 else _I32_COMP_LIMIT)
-
-            def unit_bounds(seg):
-                lo_u, hi_u, t_u = _match_bounds(self._build_keys_sorted, seg,
-                                                key_bound=kb)
-                return lo_u, hi_u, jnp.stack([t_u, jnp.zeros((), jnp.int64)])
-        # warm-up on the shared unit shape: compile cost must not land on
-        # the first unit's measured time (the reference's timers likewise
-        # start after thread setup, main.cpp:99-109)
-        np.asarray(unit_bounds(pad)[2])
-        # Owner-order round-robin for partition units (partition p →
-        # worker p % nthreads, the static SPMD assignment, SURVEY.md §2.4
-        # P8); steal chunks map one-to-one onto workers.  Each WORKER's
-        # units run as one enqueued batch with a single fenced readback —
-        # the measured granularity is the worker, exactly the reference's
-        # per-thread rdtsc span (main.cpp:75-94); per-unit micros are the
-        # worker's measured span apportioned by unit rows.  (The round-3
-        # per-UNIT fence cost ~27 ms of tunnel round trip per unit — 55 s
-        # of pure fences on a 2048-partition probe.)
         k = self.nthreads
-        los = [None] * len(units)
-        his = [None] * len(units)
+        blocks = _balance_unit_blocks(units, k)
+        route = self._probe_route(parts, units, policy)
+        W = max(8, next_pow2(max(units[b - 1][1] - units[a][0]
+                                 for a, b in blocks)))
+        U = max(b - a for a, b in blocks)
+        # one shared compiled program serves every block: pad unit counts
+        # to U, rows to W; pad probe keys once so every dynamic_slice is
+        # in-bounds.  Pad keys are NEGATIVE sentinels below every real key
+        # (dense/perm routes exclude key < 0; tagged routes sort them
+        # below all certified keys) — they match nothing and do not void
+        # the per-unit identity certificate.
+        if route in ("perm", "dense"):
+            pad_val, use_i32 = -1, True
+        else:
+            kb = (int(_keys_absmax(self._build_keys_sorted, probe_keys))
+                  if probe_keys.dtype.itemsize <= 4
+                  and self._build_keys_sorted.dtype.itemsize <= 4
+                  else _I32_COMP_LIMIT)
+            use_i32 = kb < _I32_COMP_LIMIT
+            pad_val = _PAD_PROBE_I32 if use_i32 else _PAD_PROBE_I64
+            if not use_i32 and probe_keys.dtype.itemsize <= 4:
+                # int64 route with narrow probe keys: widen once so the
+                # pad sentinel sits strictly outside the key domain
+                probe_keys = probe_keys.astype(jnp.int64)
+        pk_pad = jnp.concatenate(
+            [probe_keys, jnp.full((W,), pad_val, probe_keys.dtype)])
+
+        def block_args(ulo, uhi):
+            a0 = units[ulo][0]
+            ub = np.full((U + 1,), units[uhi - 1][1] - a0, np.int32)
+            ub[:uhi - ulo + 1] = [units[i][0] - a0
+                                  for i in range(ulo, uhi)] + \
+                                 [units[uhi - 1][1] - a0]
+            return jnp.int32(a0), jnp.asarray(ub)
+
+        if route == "perm":
+            def run(start, ub):
+                return _block_bounds_perm(W, pk_pad, start, ub,
+                                          self._kmin, self._kmax)
+        elif route == "dense":
+            def run(start, ub):
+                return _block_bounds_dense(W, pk_pad, start, ub,
+                                           *self._dense_tbl)
+        elif route == "local":
+            bkeys_ps, g_of_l = self._plocal_arrays()
+            _, _, offs, szs = self._build_parts_meta
+            # units <-> nonempty probe partitions, in order (the schedule
+            # bounds collapse empty partitions); build slice of unit u =
+            # the SAME partition id's run in the part-sorted build
+            pids = np.where(np.asarray(parts.sizes) > 0)[0]
+            BP = max(8, next_pow2(int(szs.max()) if len(szs) else 1))
+            PP = max(8, next_pow2(max(b - a for a, b in units)))
+
+            def run(start, ub, _ulo_uhi=None):
+                ulo, uhi = _ulo_uhi
+                b0 = np.zeros((U,), np.int64)
+                bl = np.zeros((U,), np.int64)
+                b0[:uhi - ulo] = offs[pids[ulo:uhi]]
+                bl[:uhi - ulo] = szs[pids[ulo:uhi]]
+                return _block_bounds_local(
+                    W, U, BP, PP, use_i32, pk_pad, start, ub,
+                    bkeys_ps, jnp.asarray(b0), jnp.asarray(bl), g_of_l)
+        else:
+            def run(start, ub):
+                return _block_bounds_sorted(W, use_i32, pk_pad, start, ub,
+                                            self._build_keys_sorted)
+
+        # warm-up compile on the shared shape: compile cost must not land
+        # on worker 0's measured span (the reference's timers likewise
+        # start after thread setup, main.cpp:99-109)
+        warm_ub = np.zeros((U + 1,), np.int32)
+        if route == "local":
+            np.asarray(run(jnp.int32(n), jnp.asarray(warm_ub),
+                           _ulo_uhi=(0, 0))[2])
+        else:
+            np.asarray(run(jnp.int32(n), jnp.asarray(warm_ub))[2])
+
+        outs = []
+        for (ulo, uhi) in blocks:
+            start, ub = block_args(ulo, uhi)
+            if route == "local":
+                outs.append(run(start, ub, _ulo_uhi=(ulo, uhi)))
+            else:
+                outs.append(run(start, ub))
+
+        # pipelined staggered readbacks: device executes the enqueued
+        # blocks in submission order; each block's small head readback
+        # returns when ITS outputs are ready, while later blocks still run
         times = [0.0] * len(units)
         worker_us = [0.0] * k
+        unit_totals = np.zeros((len(units),), np.int64)
         total = 0
-        # the unit certificate survives scheduling: pad keys (-1) are
-        # excluded on device, so AND-ing the per-unit flags certifies the
-        # whole probe (unlocks the identity emit — at reference scale the
-        # general expansion's temporaries alone exceed the chip's HBM)
-        all_unit = self._dense_tbl is not None
-        for w in range(k):
-            idxs = [i for i in range(len(units)) if i % k == w]
-            if not idxs:
-                continue
-            t0 = time.perf_counter()
-            heads = []
-            for i in idxs:
-                a, b = units[i]
-                seg = jax.lax.dynamic_update_slice(pad, probe_keys[a:b],
-                                                   (0,))
-                lo_u, hi_u, head = unit_bounds(seg)
-                los[i] = lo_u[:b - a]
-                his[i] = hi_u[:b - a]
-                heads.append(head)
-            hd = np.asarray(jnp.stack(heads))   # the worker's ONE fence
-            worker_us[w] = (time.perf_counter() - t0) * 1e6
-            total += int(hd[:, 0].sum())
-            all_unit = all_unit and bool(hd[:, 1].all())
-            wrows = sum(units[i][1] - units[i][0] for i in idxs)
-            for i in idxs:
-                times[i] = worker_us[w] * (units[i][1] - units[i][0])                     / max(1, wrows)
+        all_unit = True
+        prev = time.perf_counter()
+        for w, ((ulo, uhi), o) in enumerate(zip(blocks, outs)):
+            hd = np.asarray(o[2])
+            t1 = time.perf_counter()
+            worker_us[w] = (t1 - prev) * 1e6
+            prev = t1
+            unit_totals[ulo:uhi] = hd[:uhi - ulo]
+            # the block's W-row window may overlap the next block's rows
+            # (shared static shape) — the boundary-clamped unit totals are
+            # the exact per-block contribution, hd[U] is not
+            total += int(hd[:uhi - ulo].sum())
+            all_unit = all_unit and bool(hd[U + 1])
+            wrows = units[uhi - 1][1] - units[ulo][0]
+            for i in range(ulo, uhi):
+                times[i] = worker_us[w] * (units[i][1] - units[i][0]) \
+                    / max(1, wrows)
+        self._last_unit_totals = unit_totals
+        los = [o[0][:units[uhi - 1][1] - units[ulo][0]]
+               for (ulo, uhi), o in zip(blocks, outs)]
+        his = [o[1][:units[uhi - 1][1] - units[ulo][0]]
+               for (ulo, uhi), o in zip(blocks, outs)]
         lo = jnp.concatenate(los) if len(los) > 1 else los[0]
         hi = jnp.concatenate(his) if len(his) > 1 else his[0]
         ss = sync_stats(worker_us)
         self.stats.probe_schedule = {
             "policy": policy,
+            "route": route,
             "units": [(a, b - a, us)
                       for (a, b), us in zip(units, times)],
             "worker_micros": worker_us,
@@ -659,13 +928,24 @@ class HashJoiner(BaseJoiner):
             lo, hi, total, all_unit = self._scheduled_probe(parts,
                                                             probe_keys, n)
             # predicted per-partition costs stay observable alongside the
-            # measured schedule (the old stats surface); one jitted
-            # program — eagerly-dispatched int64 cumsums here pinned 4 GB
-            # of temporaries through the emit at reference scale
-            starts = jnp.asarray(np.asarray(parts.offsets, np.int64))
-            ends = starts + jnp.asarray(np.asarray(parts.sizes, np.int64))
-            self.stats.partition_probe_costs = np.asarray(
-                _partition_costs(lo, hi, starts, ends))
+            # measured schedule (the old stats surface)
+            if self.stats.probe_schedule["policy"] == "probe_is_part":
+                # units ARE the nonempty partitions: per-partition cost =
+                # in-program unit totals + rows, no extra device pass
+                sizes_np = np.asarray(parts.sizes, np.int64)
+                costs = np.zeros((parts.nparts,), np.int64)
+                nz = np.where(sizes_np > 0)[0]
+                costs[nz] = self._last_unit_totals + sizes_np[nz]
+                self.stats.partition_probe_costs = costs
+            else:
+                # steal chunks cross partition bounds — one jitted program
+                # (eagerly-dispatched int64 cumsums here pinned 4 GB of
+                # temporaries through the emit at reference scale)
+                starts = jnp.asarray(np.asarray(parts.offsets, np.int64))
+                ends = starts + jnp.asarray(np.asarray(parts.sizes,
+                                                       np.int64))
+                self.stats.partition_probe_costs = np.asarray(
+                    _partition_costs(lo, hi, starts, ends))
         else:
             lo, hi, total, all_unit = self._bounds(probe_keys)
 

@@ -49,6 +49,14 @@ class PartitionedTable:
     table: Table
     sizes: np.ndarray      # (nparts,) int64
     offsets: np.ndarray    # (nparts,) int64 exclusive prefix sums
+    part_hash: Optional[HashFunction] = None  # the hash fn that assigned
+                           # rows to partitions (None for no-op/derek
+                           # splits).  Lets the joiner certify that build
+                           # and probe sides are CO-PARTITIONED (same
+                           # fingerprint on the same attribute) and probe
+                           # each unit against only its matching build
+                           # partition (probe.inl:18-36 locality).
+    part_attr: int = 1     # the partitioned attribute (conf 'attribute')
     _perm: "np.ndarray | jax.Array | None" = None  # original row index of
                            # each reordered row — device-resident from the
                            # hash partitioners (never pulled through the
@@ -124,7 +132,8 @@ def _reorder_device(cols, rank, nparts: int, stride: int):
 
 def _reorder(table: Table, jattr: int, buckets: jax.Array, nparts: int,
              rank_bias: Optional[jax.Array] = None,
-             bias_bound: int = 0) -> PartitionedTable:
+             bias_bound: int = 0, part_hash: Optional[HashFunction] = None,
+             part_attr: int = 1) -> PartitionedTable:
     """One conflict-free partitioning pass: stable sort rows by bucket id
     (optionally biased by a secondary rank in [0, bias_bound)) and gather
     every column.
@@ -156,6 +165,7 @@ def _reorder(table: Table, jattr: int, buckets: jax.Array, nparts: int,
         # same stable order as argsort(rank); materialized only if read
         # (holds rank — the same 1 GB the eager perm used to occupy)
         return PartitionedTable(out, sizes_offsets[0], sizes_offsets[1],
+                                part_hash, part_attr,
                                 lambda: jnp.argsort(rank, stable=True))
     outs, perm, sizes_offsets_dev = _reorder_device(
         tuple(jnp.asarray(c) for c in num_cols), rank, nparts, stride)
@@ -173,7 +183,8 @@ def _reorder(table: Table, jattr: int, buckets: jax.Array, nparts: int,
         else:
             out_cols.append(outs.pop(0))
     out = Table(table.schema, out_cols, table.page_size)
-    return PartitionedTable(out, sizes_offsets[0], sizes_offsets[1], perm)
+    return PartitionedTable(out, sizes_offsets[0], sizes_offsets[1],
+                            part_hash, part_attr, perm)
 
 
 class NoPartitioner:
@@ -204,7 +215,8 @@ class ParallelPartitioner(NoPartitioner):
     def split(self, table: Table) -> PartitionedTable:
         keys = jnp.asarray(table.key_column(self.attribute))
         buckets = self.hashfn.hash(keys)
-        return _reorder(table, self.attribute, buckets, self.hashfn.buckets)
+        return _reorder(table, self.attribute, buckets, self.hashfn.buckets,
+                        part_hash=self.hashfn, part_attr=self.attribute)
 
 
 class IndependentPartitioner(ParallelPartitioner):
@@ -229,7 +241,8 @@ class IndependentPartitioner(ParallelPartitioner):
         # rank bias orders rows by shard within a bucket; sort stability
         # keeps original position within (bucket, shard)
         return _reorder(table, self.attribute, buckets, self.hashfn.buckets,
-                        rank_bias=shard, bias_bound=self.nthreads)
+                        rank_bias=shard, bias_bound=self.nthreads,
+                        part_hash=self.hashfn, part_attr=self.attribute)
 
 
 class DerekPartitioner(NoPartitioner):

@@ -712,3 +712,102 @@ def test_flatmem_directory_route_matches_composite(tmp_path):
         a = np.sort(np.asarray(res.output.column(col)[:res.output_rows]))
         b = np.sort(np.asarray(res2.output.column(col)[:res2.output_rows]))
         assert np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Scheduled-probe routes (round 5): partition-local vs full-build search
+# ---------------------------------------------------------------------------
+
+def _wide_key_tables(base, dup_build=True):
+    """Tables whose keys exceed _DENSE_LIMIT so neither the dense directory
+    nor the permutation certificate applies (forces the tagged-sort
+    routes), with duplicate keys on both sides."""
+    rng = np.random.default_rng(42)
+    bkeys = base + rng.integers(0, 4096, size=2000) * 37
+    if dup_build:
+        bkeys[:100] = bkeys[100:200]       # extra duplicates
+    pkeys = base + rng.integers(0, 4096, size=6000) * 37
+    s = Schema.create(("long", "long"))
+    tb = WriteTable(s)
+    tb.append_batch([bkeys.astype(np.int64),
+                     np.arange(2000, dtype=np.int64)])
+    tb.finalize()
+    tp = WriteTable(s)
+    tp.append_batch([pkeys.astype(np.int64),
+                     np.arange(6000, dtype=np.int64)])
+    tp.finalize()
+    return s, tb, tp
+
+
+def _oracle_pairs(s, tb, tp, h):
+    j = HashJoiner(h)
+    j.init(s, [2], 1, s, [2], 1)
+    j.build(NoPartitioner().split(tb))
+    out = j.probe(NoPartitioner().split(tp))
+    pairs = np.stack([np.asarray(out.column(1))[:out.num_rows],
+                      np.asarray(out.column(2))[:out.num_rows]])
+    return pairs[:, np.lexsort(pairs)], out.num_rows
+
+
+@pytest.mark.parametrize("base", [1 << 26, 1 << 30])
+def test_partition_local_route_wide_keys(base):
+    """Co-partitioned build+probe with wide (non-dense) keys: the
+    scheduled probe takes the partition-LOCAL route — unit p searches ONLY
+    build partition p's slice (probe.inl:18-36) — and matches the
+    unscheduled full-sort probe exactly.  base=2^30 exercises the int64
+    tagged composite (keys beyond the int32 certificate)."""
+    s, tb, tp = _wide_key_tables(base)
+    h = ModuloHash(1, 1 << 32, 4096)
+    part_h1 = ModuloHash(1, 1 << 32, 16)
+    part_h2 = ModuloHash(1, 1 << 32, 16)   # distinct object, == fingerprint
+    assert part_h1 == part_h2
+    j = HashJoiner(h, partition_build=True, partition_probe=True,
+                   nthreads=4)
+    j.init(s, [2], 1, s, [2], 1)
+    j.build(ParallelPartitioner(part_h1).split(tb))
+    out = j.probe(ParallelPartitioner(part_h2).split(tp))
+    assert j.stats.probe_schedule["route"] == "local"
+    assert j.stats.probe_schedule["policy"] == "probe_is_part"
+    oracle, n_rows = _oracle_pairs(s, tb, tp, h)
+    assert out.num_rows == n_rows
+    pairs = np.stack([np.asarray(out.column(1))[:out.num_rows],
+                      np.asarray(out.column(2))[:out.num_rows]])
+    assert np.array_equal(pairs[:, np.lexsort(pairs)], oracle)
+
+
+def test_sorted_route_when_not_copartitioned():
+    """Probe split by a DIFFERENT hash than the build: the co-partitioning
+    certificate fails and the scheduled probe falls back to the full-build
+    tagged search per worker — results still exact."""
+    s, tb, tp = _wide_key_tables(1 << 26)
+    h = ModuloHash(1, 1 << 32, 4096)
+    j = HashJoiner(h, partition_build=True, partition_probe=True,
+                   nthreads=4)
+    j.init(s, [2], 1, s, [2], 1)
+    j.build(ParallelPartitioner(ModuloHash(1, 1 << 32, 16)).split(tb))
+    out = j.probe(ParallelPartitioner(ModuloHash(1, 1 << 32, 8)).split(tp))
+    assert j.stats.probe_schedule["route"] == "sorted"
+    oracle, n_rows = _oracle_pairs(s, tb, tp, h)
+    assert out.num_rows == n_rows
+    pairs = np.stack([np.asarray(out.column(1))[:out.num_rows],
+                      np.asarray(out.column(2))[:out.num_rows]])
+    assert np.array_equal(pairs[:, np.lexsort(pairs)], oracle)
+
+
+def test_perm_route_reported_on_canonical_schedule():
+    """The canonical dense-PK build reports the arithmetic 'perm' route in
+    its measured schedule (the reference-scale fast path)."""
+    tb = _pk_table(512, seed=11)
+    s = Schema.create(("long", "long"))
+    tp = WriteTable(s)
+    tp.generate(4096, 512, 0.0, 22)
+    h = ModuloHash(1, 512, 64)
+    part_h = ModuloHash(1, 512, 8)
+    j = HashJoiner(h, partition_build=True, partition_probe=True,
+                   nthreads=4)
+    j.init(tb.schema, [2], 1, tp.schema, [2], 1)
+    j.build(ParallelPartitioner(part_h).split(tb))
+    out = j.probe(ParallelPartitioner(part_h).split(tp))
+    assert out.num_rows == 4096
+    assert j.stats.probe_schedule["route"] == "perm"
+    assert len(j.stats.probe_schedule["worker_micros"]) == 4

@@ -176,8 +176,10 @@ def main() -> int:
           "joins/common.plan_traffic_bytes components with the phase-A-"
           "aware gsort pass count.", "",
           f"Chip HBM copy roofline: **{chip_roof:.0f} GB/s** (read+write, "
-          f"2^27 int32 d2d; testbed chained-copy agrees: "
-          f"{tb['gbps']:.0f} GB/s).  Engine streaming anchor: "
+          f"2^27 int32 d2d; wall-clock chained testbed: "
+          f"{tb['gbps']:.0f} GB/s — back-to-back program launches pay "
+          "a ~1.6 ms scheduling gap, invisible in device-op spans).  "
+          "Engine streaming anchor: "
           f"**{engine_roof:.0f} GB/s** = {engine_roof / chip_roof:.0%} of "
           "the chip — the DMA headroom question is now explicit.", "",
           "Bounds: implied GB/s <= chip roofline x1.1 (overcount); "

@@ -37,13 +37,17 @@ def memory_bandwidth(log2_elems: int = 27, reps: int = 5,
         t0 = time.perf_counter()
         np.asarray(copy(src)[:1])
         best = min(best, time.perf_counter() - t0)
+    # ONE program containing `chain` dependent full-HBM passes: amortizes
+    # both the ~25 ms tunnel fence AND the ~1.4 ms per-dispatch overhead
+    # (a Python-level chain of jitted copies still pays dispatch per copy
+    # and reads ~40% low)
+    chained = jax.jit(lambda a: jax.lax.fori_loop(
+        0, chain, lambda i, x: x + 1, a))
+    np.asarray(chained(src)[:1])
     best_chain = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = src
-        for _ in range(chain):
-            out = copy(out)
-        np.asarray(out[:1])            # ONE fence for the chain
+        np.asarray(chained(src)[:1])
         best_chain = min(best_chain, time.perf_counter() - t0)
     nbytes = n * src.dtype.itemsize
     per_copy = best_chain / chain

@@ -213,21 +213,23 @@ def _overflow_tile_matches(sorted2d, skeys_sorted, bad_tiles, off_np, end_np,
     row_off = off // LANES
     rows_needed = jnp.maximum((end + LANES - 1) // LANES - row_off, 0)
     n_chunks = (rows_needed + rows_per_tile - 1) // rows_per_tile
-    # the repair's chunk counts are data-driven and UNBOUNDED, so the
-    # int32 per-position accumulator needs its certificate enforced here
-    # (ADVICE r4 #2: a heavy hitter with ~2^24 copies on each side can
-    # push one position past 2^31): coarse visit bound, then tight
-    # max-duplicate bound, else the skew-oblivious tagged count
-    visits = int(np.asarray(_sum_i64(n_chunks)))
-    if _acc_unsafe(visits, b, skeys_sorted, tile):
-        return int(tagged_count(flat, skeys_sorted, tile=tile,
-                                interpret=interpret))
     if s2d is None:
         s2d = prepare_probe_side(skeys_sorted, tile)
     counts = banded_count(bad2d, s2d, row_off.astype(jnp.int32),
                           n_chunks.astype(jnp.int32), tile=tile,
                           interpret=interpret)
-    return int(_sum_i64(counts))
+    # ONE fence for count + certificate inputs: the repair's chunk counts
+    # are data-driven and UNBOUNDED, so the int32 per-position accumulator
+    # needs its certificate enforced (ADVICE r4 #2: a heavy hitter with
+    # ~2^24 copies on each side can push one position past 2^31).  The
+    # optimistic count is enqueued first and discarded if uncertified —
+    # a second readback here would cost another ~25 ms tunnel round trip
+    # on every repair.
+    head = np.asarray(jnp.stack([_sum_i64(counts), _sum_i64(n_chunks)]))
+    if _acc_unsafe(int(head[1]), b, skeys_sorted, tile):
+        return int(tagged_count(flat, skeys_sorted, tile=tile,
+                                interpret=interpret))
+    return int(head[0])
 
 
 @jax.jit

@@ -1061,6 +1061,7 @@ class FlatMemoryJoiner(BaseJoiner):
         self.stats.build_rows = table.num_rows
         self.stats.bucket_count = self.partitioner.hashfn.buckets
         self._flat_dir = None
+        self._flat_perm = None
         if table.num_rows:
             st = np.asarray(_build_key_stats(keys32, jnp.zeros((1,),
                                                                jnp.int32)))
@@ -1069,12 +1070,39 @@ class FlatMemoryJoiner(BaseJoiner):
                     and kmax < max(16 * table.num_rows, 1 << 20):
                 tbl_len = next_pow2(kmax + 2)
                 kf = keys32.astype(jnp.int32)[order]
-                self._flat_dir = _flat_directory(
+                start_tbl, cnt_tbl = _flat_directory(
                     kf, jnp.zeros((tbl_len,), jnp.int32))
+                self._flat_dir = (start_tbl, cnt_tbl)
+                if (kmax - kmin + 1 == table.num_rows
+                        and int(np.asarray(jnp.max(cnt_tbl))) == 1):
+                    # permutation certificate (the canonical 16M PK build,
+                    # wisconsin-src/datagen/genbuild.py): probe ranks are
+                    # ARITHMETIC in key order, so the per-probe directory
+                    # gathers (the reference's histogram-range walk,
+                    # flatmem.cpp:147-160) vanish — the emit gathers build
+                    # payload through a key-ordered copy instead.  The
+                    # flat radix artifact and its inclusive histogram stay
+                    # the observable build product.
+                    self._flat_perm = (kmin, kmax,
+                                       jnp.argsort(keys32.astype(jnp.int32),
+                                                   stable=True))
 
     def probe(self, parts: PartitionedTable) -> Table:
         table = parts.table
         self.stats.probe_rows = table.num_rows
+        if self._flat_perm is not None:
+            # permutation-certified flat build: arithmetic key-order ranks
+            # replace the start/cnt directory gathers (two 256M-index
+            # gathers, ~2.3 s each at reference scale) — the emit gathers
+            # payload through the 16M key-order permutation instead
+            kmin, kmax, order_key = self._flat_perm
+            pkeys32 = jnp.asarray(table.key_column(self.ja2))
+            lo, hi, head = _dense_bounds_perm(pkeys32, kmin, kmax)
+            tot = np.asarray(head)
+            payload_cols = [jnp.asarray(self._build_table.column(c))[order_key]
+                            for c in self.sel1]
+            return self._emit(table, lo, hi, int(tot[0]), payload_cols,
+                              unit_counts=bool(tot[1]))
         payload_cols = [jnp.asarray(self._build_table.column(c))[self._order]
                         for c in self.sel1]
         if self._flat_dir is not None:

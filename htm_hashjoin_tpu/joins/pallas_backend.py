@@ -164,7 +164,7 @@ def tagged_count(r_keys: jax.Array, skeys: jax.Array, *, tile: int,
     return _segmented_count_tagged(comp2d.reshape(-1)[:n])
 
 
-def _overflow_tile_matches(sorted2d, skeys_sorted, bad_tiles, off_np, end_np,
+def _overflow_tile_matches(sorted2d, skeys_sorted, bad_tiles,
                            tile: int, interpret: bool = False,
                            s2d: Optional[jax.Array] = None) -> int:
     """Exact counts for band-overflow tiles in ONE batched program.
@@ -187,7 +187,6 @@ def _overflow_tile_matches(sorted2d, skeys_sorted, bad_tiles, off_np, end_np,
     skew-oblivious tagged sort — the gathered buffer stays bounded
     (ADVICE r3: the unbounded batched gather was a memory/latency
     cliff)."""
-    del off_np, end_np               # bands no longer restrict the count
     flat = sorted2d.reshape(-1)
     b = len(bad_tiles)
     if not b:
@@ -331,8 +330,7 @@ def banded_probe(build: BandedBuild, skeys_sorted: jax.Array, *,
     overflow_tiles = np.nonzero(overflow)[0]
     if len(overflow_tiles):
         matches += _overflow_tile_matches(build.sorted2d, skeys_sorted,
-                                          overflow_tiles, np.asarray(off),
-                                          np.asarray(end), tile,
+                                          overflow_tiles, tile,
                                           interpret=interpret, s2d=s2d)
     return matches, len(overflow_tiles)
 
@@ -703,8 +701,17 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                               narrow=narrow, interpret=interpret)
     (matches, viols, overflow, out_sum, in_sum, sorted2d, off, end, bad,
      visits) = res
-    bundle = np.asarray(jnp.stack([matches, viols, overflow, out_sum,
-                                   in_sum, visits]))
+
+    def _fence(res_):
+        # the per-tile bad flags ride the SAME readback as the scalars: a
+        # separate np.asarray(bad) on the repair path costs another
+        # ~25 ms tunnel round trip per repaired join
+        head = jnp.stack([res_[0], res_[1], res_[2], res_[3], res_[4],
+                          res_[9]])
+        return np.asarray(jnp.concatenate(
+            [head, res_[8].astype(jnp.int64)]))
+
+    bundle = _fence(res)
     resorted = False
     viols_i = int(bundle[1])   # abort count survives the retry (the
                                # failedTransactions analog must report the
@@ -717,8 +724,7 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
                                   interpret=interpret)
         (matches, viols, overflow, out_sum, in_sum, sorted2d, off, end,
          bad, visits) = res
-        bundle = np.asarray(jnp.stack([matches, viols, overflow, out_sum,
-                                       in_sum, visits]))
+        bundle = _fence(res)
         resorted = True
     matches_i = int(bundle[0])
     overflow_i = int(bundle[2])
@@ -755,10 +761,9 @@ def banded_join_pipelined(rkeys: jax.Array, skeys_sorted: jax.Array, *,
         return BandedJoinOutcome(matches_i, viols_i, overflow_i,
                                  int(bundle[3]), True, int(bundle[4]))
     if overflow_i:                      # skew spill → batched tagged count
-        bad_tiles = np.nonzero(np.asarray(bad))[0]
+        bad_tiles = np.nonzero(bundle[6:])[0]     # flags rode the bundle
         matches_i += _overflow_tile_matches(sorted2d, skeys_sorted,
-                                            bad_tiles, np.asarray(off),
-                                            np.asarray(end), tile,
+                                            bad_tiles, tile,
                                             interpret=interpret, s2d=s2d)
     return BandedJoinOutcome(matches_i, viols_i, overflow_i,
                              int(bundle[3]), resorted, int(bundle[4]))

@@ -435,7 +435,11 @@ def _gsort_pass_jit(keys2d, *, tile: int, bits: tuple, level: int,
             pltpu.SemaphoreType.DMA((2, members)),
             pltpu.SemaphoreType.DMA((2, members)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # allow wider groupings (bits=4: 16-member stacks) than the
+            # 16 MB scoped-vmem compiler default admits
+            vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(keys2d)
 
@@ -463,6 +467,287 @@ def global_sort_tiles(keys2d, *, tile: int = 65536, interpret: bool = False):
         for ci, chunk in enumerate(chunks):
             cur = call_with_big_stack(
                 _gsort_pass_jit, cur, tile=tile, bits=tuple(chunk), level=j,
+                include_local=(ci == len(chunks) - 1),
+                final_level=(j == levels), interpret=interpret)
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# Kernel C-kv: key-value global sort (the partition-split engine)
+# ---------------------------------------------------------------------------
+#
+# Same grouped-bitonic structure as Kernel C, carrying a 32-bit value array
+# through every compare-exchange (linops._ce_kv).  Exists for the probe-side
+# partition split at reference scale: XLA's stable sort_key_val moves the
+# 256M-row (key, payload) table in ~1.7 s; this network does it in ~0.6 s
+# (keys-only gsort measures 0.30 s at 2^28 — r5_split_bench).  VMEM budget
+# halves the member count (GSORT_KV_BITS=2) and the phase-A block
+# (GSORT_KV_PHASE_A_BITS=1): buffers are 2 arrays x 2 slots x in/out.
+
+GSORT_KV_BITS = 2
+GSORT_KV_PHASE_A_BITS = 1
+
+
+def _sort_kv_megakernel(k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, okbuf,
+                        ovbuf, sem_ki, sem_vi, sem_ko, sem_vo, *,
+                        n_tiles: int, rows_per_tile: int, method: str):
+    """Double-buffered streaming per-tile KV sort (phase A of the kv global
+    sort; method 'bitonic' or 'bitonic_alt' — see _sort_megakernel)."""
+    two = jnp.int32(2)
+
+    def in_dma(buf_hbm, buf_vmem, sem, slot, t):
+        return pltpu.make_async_copy(
+            buf_hbm.at[pl.ds(t * rows_per_tile, rows_per_tile), :],
+            buf_vmem.at[slot], sem.at[slot])
+
+    def out_dma(buf_vmem, buf_hbm, sem, slot, t):
+        return pltpu.make_async_copy(
+            buf_vmem.at[slot],
+            buf_hbm.at[pl.ds(t * rows_per_tile, rows_per_tile), :],
+            sem.at[slot])
+
+    in_dma(k_hbm, kbuf, sem_ki, jnp.int32(0), jnp.int32(0)).start()
+    in_dma(v_hbm, vbuf, sem_vi, jnp.int32(0), jnp.int32(0)).start()
+
+    def body(t, carry):
+        slot = jax.lax.rem(t, two)
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            nxt = jax.lax.rem(t + 1, two)
+            in_dma(k_hbm, kbuf, sem_ki, nxt, t + 1).start()
+            in_dma(v_hbm, vbuf, sem_vi, nxt, t + 1).start()
+
+        in_dma(k_hbm, kbuf, sem_ki, slot, t).wait()
+        in_dma(v_hbm, vbuf, sem_vi, slot, t).wait()
+        k = kbuf[slot]
+        v = vbuf[slot]
+        if method == "bitonic_alt":
+            k, v = linops.bitonic_sort_kv(
+                k, v, final_asc=(jax.lax.rem(t, two) == 0))
+        else:
+            k, v = linops.bitonic_sort_kv(k, v)
+
+        @pl.when(t >= 2)
+        def _():
+            out_dma(okbuf, ok_hbm, sem_ko, slot, t - 2).wait()
+            out_dma(ovbuf, ov_hbm, sem_vo, slot, t - 2).wait()
+
+        okbuf[slot] = k
+        ovbuf[slot] = v
+        out_dma(okbuf, ok_hbm, sem_ko, slot, t).start()
+        out_dma(ovbuf, ov_hbm, sem_vo, slot, t).start()
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_tiles), body, jnp.int32(0))
+    last = jnp.int32(n_tiles - 1)
+    out_dma(okbuf, ok_hbm, sem_ko, jax.lax.rem(last, two), last).wait()
+    out_dma(ovbuf, ov_hbm, sem_vo, jax.lax.rem(last, two), last).wait()
+    if n_tiles >= 2:
+        p = jax.lax.rem(last - 1, two)
+        out_dma(okbuf, ok_hbm, sem_ko, p, last - 1).wait()
+        out_dma(ovbuf, ov_hbm, sem_vo, p, last - 1).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "method", "interpret"))
+def _sort_kv_tiles_jit(keys2d, vals2d, *, tile: int, method: str = "bitonic",
+                       interpret: bool = False):
+    rows_per_tile = tile // LANES
+    n_tiles = keys2d.shape[0] // rows_per_tile
+    kernel = functools.partial(_sort_kv_megakernel, n_tiles=n_tiles,
+                               rows_per_tile=rows_per_tile, method=method)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        out_shape=(jax.ShapeDtypeStruct(keys2d.shape, jnp.int32),
+                   jax.ShapeDtypeStruct(vals2d.shape, jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((2, rows_per_tile, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the kv network keeps ~2x the keys network's live temporaries;
+            # the default 16 MB SCOPED vmem budget (a compiler default, not
+            # the chip) rejects it — raise toward the hardware's capacity
+            vmem_limit_bytes=100 << 20),
+        interpret=interpret,
+    )(keys2d, vals2d)
+
+
+def _gsort_kv_pass_kernel(k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, okbuf,
+                          ovbuf, sem_ki, sem_vi, sem_ko, sem_vo, *,
+                          n_tiles: int, rows_per_tile: int, bits: tuple,
+                          level: int, include_local: bool,
+                          final_level: bool):
+    """One KV pass of cross-tile stages (see _gsort_pass_kernel; flips
+    apply to keys only, values ride the compare masks)."""
+    g = len(bits)
+    members = 1 << g
+    stack_rows = members * rows_per_tile
+    n_groups = n_tiles // members
+    two = jnp.int32(2)
+
+    def tile_of(gi, m):
+        tid = gi
+        for pos in sorted(bits):
+            low = jax.lax.rem(tid, jnp.int32(1 << pos))
+            high = tid - low
+            tid = high * 2 + low
+        for k_, pos in enumerate(sorted(bits, reverse=True)):
+            tid = tid + jnp.int32(((m >> (g - 1 - k_)) & 1)) * (1 << pos)
+        return tid
+
+    def in_dma(src, dst, sem, slot, gi, m):
+        return pltpu.make_async_copy(
+            src.at[pl.ds(tile_of(gi, m) * rows_per_tile, rows_per_tile), :],
+            dst.at[slot, pl.ds(m * rows_per_tile, rows_per_tile), :],
+            sem.at[slot, jnp.int32(m)])
+
+    def out_dma(src, dst, sem, slot, gi, m):
+        return pltpu.make_async_copy(
+            src.at[slot, pl.ds(m * rows_per_tile, rows_per_tile), :],
+            dst.at[pl.ds(tile_of(gi, m) * rows_per_tile, rows_per_tile), :],
+            sem.at[slot, jnp.int32(m)])
+
+    for m in range(members):
+        in_dma(k_hbm, kbuf, sem_ki, jnp.int32(0), jnp.int32(0), m).start()
+        in_dma(v_hbm, vbuf, sem_vi, jnp.int32(0), jnp.int32(0), m).start()
+
+    def body(gi, carry):
+        slot = jax.lax.rem(gi, two)
+
+        @pl.when(gi + 1 < n_groups)
+        def _():
+            nxt = jax.lax.rem(gi + 1, two)
+            for m in range(members):
+                in_dma(k_hbm, kbuf, sem_ki, nxt, gi + 1, m).start()
+                in_dma(v_hbm, vbuf, sem_vi, nxt, gi + 1, m).start()
+
+        for m in range(members):
+            in_dma(k_hbm, kbuf, sem_ki, slot, gi, m).wait()
+            in_dma(v_hbm, vbuf, sem_vi, slot, gi, m).wait()
+        k = kbuf[slot]
+        v = vbuf[slot]
+        if final_level:
+            flip = None
+        else:
+            d = (jax.lax.rem(jax.lax.div(tile_of(gi, 0),
+                                         jnp.int32(1 << level)), two) == 0)
+            flip = jnp.broadcast_to(~d, (stack_rows, LANES))
+            k = jnp.where(flip, ~k, k)
+        for k_, pos in enumerate(sorted(bits, reverse=True)):
+            s = (1 << (g - 1 - k_)) * rows_per_tile * LANES
+            k, v = linops._ce_kv(k, v, s)
+        if include_local:
+            s = rows_per_tile * LANES // 2
+            while s >= 1:
+                k, v = linops._ce_kv(k, v, s)
+                s //= 2
+        if flip is not None:
+            k = jnp.where(flip, ~k, k)
+
+        @pl.when(gi >= 2)
+        def _():
+            for m in range(members):
+                out_dma(okbuf, ok_hbm, sem_ko, slot, gi - 2, m).wait()
+                out_dma(ovbuf, ov_hbm, sem_vo, slot, gi - 2, m).wait()
+
+        okbuf[slot] = k
+        ovbuf[slot] = v
+        for m in range(members):
+            out_dma(okbuf, ok_hbm, sem_ko, slot, gi, m).start()
+            out_dma(ovbuf, ov_hbm, sem_vo, slot, gi, m).start()
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_groups), body, jnp.int32(0))
+    last = jnp.int32(n_groups - 1)
+    for m in range(members):
+        out_dma(okbuf, ok_hbm, sem_ko, jax.lax.rem(last, two), last,
+                m).wait()
+        out_dma(ovbuf, ov_hbm, sem_vo, jax.lax.rem(last, two), last,
+                m).wait()
+    if n_groups >= 2:
+        p = jax.lax.rem(last - 1, two)
+        for m in range(members):
+            out_dma(okbuf, ok_hbm, sem_ko, p, last - 1, m).wait()
+            out_dma(ovbuf, ov_hbm, sem_vo, p, last - 1, m).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "bits", "level",
+                                             "include_local", "final_level",
+                                             "interpret"))
+def _gsort_kv_pass_jit(keys2d, vals2d, *, tile: int, bits: tuple,
+                       level: int, include_local: bool, final_level: bool,
+                       interpret: bool = False):
+    rows_per_tile = tile // LANES
+    n_tiles = keys2d.shape[0] // rows_per_tile
+    members = 1 << len(bits)
+    kernel = functools.partial(
+        _gsort_kv_pass_kernel, n_tiles=n_tiles, rows_per_tile=rows_per_tile,
+        bits=bits, level=level, include_local=include_local,
+        final_level=final_level)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        out_shape=(jax.ShapeDtypeStruct(keys2d.shape, jnp.int32),
+                   jax.ShapeDtypeStruct(vals2d.shape, jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, members * rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((2, members * rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((2, members * rows_per_tile, LANES), jnp.int32),
+            pltpu.VMEM((2, members * rows_per_tile, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, members)),
+            pltpu.SemaphoreType.DMA((2, members)),
+            pltpu.SemaphoreType.DMA((2, members)),
+            pltpu.SemaphoreType.DMA((2, members)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the kv network keeps ~2x the keys network's live temporaries;
+            # the default 16 MB SCOPED vmem budget (a compiler default, not
+            # the chip) rejects it — raise toward the hardware's capacity
+            vmem_limit_bytes=100 << 20),
+        interpret=interpret,
+    )(keys2d, vals2d)
+
+
+def global_sort_kv_tiles(keys2d, vals2d, *, tile: int = 65536,
+                         interpret: bool = False):
+    """Globally sort (keys2d, vals2d) by key ascending, values riding the
+    exchanges — the kv counterpart of global_sort_tiles.  NOT stable
+    between equal keys (bitonic networks are not); callers needing tie
+    order must disambiguate in the key.  Tile count must be a power of
+    two (pad keys with MAXI32, values arbitrarily)."""
+    rows_per_tile = tile // LANES
+    n_tiles = keys2d.shape[0] // rows_per_tile
+    assert n_tiles & (n_tiles - 1) == 0, n_tiles
+    levels = n_tiles.bit_length() - 1
+    pa_bits = min(GSORT_KV_PHASE_A_BITS, levels)
+    cur = call_with_big_stack(
+        _sort_kv_tiles_jit, keys2d, vals2d, tile=tile << pa_bits,
+        method="bitonic" if levels == pa_bits else "bitonic_alt",
+        interpret=interpret)
+    for j in range(pa_bits + 1, levels + 1):
+        stage_bits = list(range(j - 1, -1, -1))
+        chunks = [stage_bits[i:i + GSORT_KV_BITS]
+                  for i in range(0, len(stage_bits), GSORT_KV_BITS)]
+        for ci, chunk in enumerate(chunks):
+            cur = call_with_big_stack(
+                _gsort_kv_pass_jit, cur[0], cur[1], tile=tile,
+                bits=tuple(chunk), level=j,
                 include_local=(ci == len(chunks) - 1),
                 final_level=(j == levels), interpret=interpret)
     return cur

@@ -232,6 +232,60 @@ def bitonic_sort_keys(key, final_asc=None):
     return key
 
 
+def _ce_kv(key, val, s: int):
+    """One ascending compare-exchange stage (partner i XOR s) carrying a
+    value array: the value moves with its key.  ~11 vector ops vs the
+    5-op keys-only form (explicit take-partner mask + a second select
+    pair) — the price of a real key-value sort without int64 packing
+    (Mosaic is int32-only)."""
+    bit = _index_bit(key.shape, s)
+    ka = _partner_plus(key, s)          # pair partner, valid at bit-clear
+    va = _partner_plus(val, s)
+    take = ka < key                     # partner is the min (bit-clear view)
+    k_lo = jnp.where(take, ka, key)
+    v_lo = jnp.where(take, va, val)
+    k_hi = _partner_minus(jnp.where(take, key, ka), s)   # pair max → bit-set
+    v_hi = _partner_minus(jnp.where(take, val, va), s)
+    return (jnp.where(bit, k_hi, k_lo), jnp.where(bit, v_hi, v_lo))
+
+
+def bitonic_sort_kv(key, val, final_asc=None):
+    """Full key-value bitonic sort over linear order (see
+    bitonic_sort_keys for the FLIP-formulation direction handling — flips
+    apply to KEYS only; values follow the compare masks untouched)."""
+    L = key.shape[0] * key.shape[1]
+    flipped = None
+    kk = 2
+    while kk <= L:
+        if kk < L:
+            want_flip = _index_bit(key.shape, kk)
+            if final_asc is not None:
+                want_flip = want_flip == jnp.broadcast_to(final_asc,
+                                                          key.shape)
+        else:
+            want_flip = (None if final_asc is None
+                         else jnp.broadcast_to(~final_asc, key.shape))
+        if want_flip is None:
+            if flipped is not None:
+                key = jnp.where(flipped, ~key, key)
+                flipped = None
+        elif flipped is None:
+            key = jnp.where(want_flip, ~key, key)
+            flipped = want_flip
+        else:
+            change = flipped != want_flip
+            key = jnp.where(change, ~key, key)
+            flipped = want_flip
+        s = kk // 2
+        while s >= 1:
+            key, val = _ce_kv(key, val, s)
+            s //= 2
+        kk *= 2
+    if flipped is not None:
+        key = jnp.where(flipped, ~key, key)
+    return key, val
+
+
 def merge_two_sorted_keys(key_a, key_b):
     """Merge two ascending single arrays (concat A + reverse(B) is bitonic)."""
     return bitonic_merge_keys(jnp.concatenate([key_a, lreverse(key_b)], axis=0))

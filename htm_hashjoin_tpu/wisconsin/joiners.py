@@ -267,21 +267,27 @@ def _flat_dense_bounds(start_tbl: jax.Array, cnt_tbl: jax.Array,
     return lo, hi, jnp.stack([total, all_unit])
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _steal_cuts(occ, buckets, k: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _steal_cuts(occ, buckets, k: int, use_i32: bool = False):
     """ProbeSteal's cost-balanced cut points, computed ON DEVICE: the
     round-3 host formulation np.asarray'd the 2^28-element hash array
     through the ~45 MB/s tunnel (~22 s) before a host cumsum; here only
-    the k-1 cut rows and the k chunk costs come back."""
-    cost = occ[buckets].astype(jnp.int64) + 1
-    prefix = jnp.cumsum(cost)
-    total = prefix[-1]
-    targets = (jnp.arange(1, k, dtype=jnp.int64) * total) // k
+    the k-1 cut rows and the k chunk costs come back.
+
+    ``use_i32``: the caller certifies n_probe * (max_occupancy + 1) <
+    2^31, so the whole cost prefix fits int32 — the int64 cumsum+gather
+    over 2^28 rows is TPU's slow path (~2x time, 2x HBM)."""
+    dt = jnp.int32 if use_i32 else jnp.int64
+    cost = occ[buckets].astype(dt) + 1
+    prefix = jnp.cumsum(cost, dtype=dt)
+    total = prefix[-1].astype(jnp.int64)
+    targets = ((jnp.arange(1, k, dtype=jnp.int64) * total) // k).astype(dt)
     cuts = jnp.searchsorted(prefix, targets).astype(jnp.int64)
     n = buckets.shape[0]
     bounds = jnp.concatenate([jnp.zeros((1,), jnp.int64), cuts,
                               jnp.full((1,), n, jnp.int64)])
-    cprefix = jnp.concatenate([jnp.zeros((1,), jnp.int64), prefix])
+    cprefix = jnp.concatenate([jnp.zeros((1,), dt), prefix]).astype(
+        jnp.int64)
     balance = cprefix[bounds[1:]] - cprefix[bounds[:-1]]
     return bounds, balance
 
@@ -712,9 +718,11 @@ class HashJoiner(BaseJoiner):
         schedule the reference's dynamic stealing converges to (each
         worker ends up with ≈ total/nthreads work)."""
         if self.steal:
+            use_i32 = (n * (self.stats.max_bucket_occupancy + 1)
+                       < (1 << 31))
             bounds_d, balance_d = _steal_cuts(
                 jnp.asarray(self._bucket_occ),
-                self.hashfn.hash(probe_keys), self.nthreads)
+                self.hashfn.hash(probe_keys), self.nthreads, use_i32)
             bb = np.asarray(jnp.concatenate(
                 [bounds_d, balance_d]))        # ONE small readback
             k1 = self.nthreads + 1

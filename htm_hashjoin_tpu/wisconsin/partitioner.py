@@ -82,6 +82,74 @@ class PartitionedTable:
         return np.arange(s, e)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _rot_pack(keys, vmin: int, skip: int, b: int, restbits: int,
+              nparts: int, n_pad: int):
+    """Rotation packing for a pure-bitfield ModuloHash: bucket =
+    ((key-min) & mask) >> skip is a bit-slice of v = key-min, so
+    t = (bucket << restbits) | rest(v) is an int32 BIJECTION ordered by
+    (bucket, rest) — one int32 sort key carries the partition id AND the
+    key.  Returns t padded to n_pad with MAXI32 (sorts last)."""
+    v = (keys - jnp.int32(vmin)).astype(jnp.int32)
+    bucket = (v >> skip) & jnp.int32((1 << b) - 1)
+    hi = (v >> (skip + b)) << skip
+    lo = v & jnp.int32((1 << skip) - 1)
+    t = (bucket << restbits) | hi | lo
+    return jnp.concatenate(
+        [t, jnp.full((n_pad - t.shape[0],), jnp.int32((1 << 31) - 1),
+                     jnp.int32)])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _rot_unpack(t_s, pay_s, vmin: int, skip: int, b: int, restbits: int,
+                nparts: int):
+    """Invert the rotation packing on the sorted stream + partition bounds
+    (partition p starts at the first t >= p << restbits)."""
+    rest = t_s & jnp.int32((1 << restbits) - 1)
+    bucket = t_s >> restbits
+    lo = rest & jnp.int32((1 << skip) - 1)
+    hi = (rest >> skip) << (skip + b)
+    key_s = (hi | (bucket << skip) | lo) + jnp.int32(vmin)
+    n = t_s.shape[0]
+    queries = (jnp.arange(nparts, dtype=jnp.int32) << restbits)
+    bounds = jnp.searchsorted(t_s, queries, side="left",
+                              method="scan").astype(jnp.int64)
+    ends = jnp.concatenate([bounds[1:], jnp.full((1,), n, jnp.int64)])
+    return key_s, pay_s, jnp.stack([ends - bounds, bounds])
+
+
+def _reorder_rot2_kv(keys, payload, hashfn: "ModuloHash", nparts: int,
+                     vmin: int, skip: int, b: int, restbits: int,
+                     interpret: bool = False):
+    """Partition split through the Pallas key-value global sort: the
+    rotation-packed int32 sort key carries (bucket, key); the payload
+    column rides the compare-exchanges.  ~0.6 s at 2^28 rows on v5e vs
+    ~1.7 s for XLA's stable sort_key_val (r5_split_bench + kv kernels).
+
+    Layout note: within a partition rows come out KEY-ordered with
+    duplicate-key ties in arbitrary order (bitonic networks are not
+    stable) — the reference's shared-partition appends are interleaving-
+    nondeterministic there too (partitioner.cpp:117-180), and every
+    downstream consumer (scheduled probes, directories, emits) is
+    order-insensitive within a partition."""
+    from ..ops.pallas.join_kernels import LANES, global_sort_kv_tiles
+    n = keys.shape[0]
+    tile = 65536
+    n_tiles = max(1, (n + tile - 1) // tile)
+    n_tiles = 1 << (n_tiles - 1).bit_length()
+    n_pad = n_tiles * tile
+    t = _rot_pack(keys, vmin, skip, b, restbits, nparts, n_pad)
+    pay = jnp.concatenate(
+        [payload.astype(jnp.int32),
+         jnp.zeros((n_pad - n,), jnp.int32)])
+    ks, vs = global_sort_kv_tiles(t.reshape(-1, LANES),
+                                  pay.reshape(-1, LANES), tile=tile,
+                                  interpret=interpret)
+    key_s, pay_s, so = _rot_unpack(ks.reshape(-1)[:n], vs.reshape(-1)[:n],
+                                   vmin, skip, b, restbits, nparts)
+    return key_s, pay_s, np.asarray(so)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _reorder_device_packed2(cols, rank, nparts: int, stride: int):
     """Two-int32-column fast path of _reorder_device: both columns ride
@@ -156,6 +224,43 @@ def _reorder(table: Table, jattr: int, buckets: jax.Array, nparts: int,
     num_cols = [c for c in table.columns
                 if not (isinstance(c, np.ndarray) and c.dtype == object)]
     stride = bias_bound if rank_bias is not None else 1
+    if (rank_bias is None and len(table.columns) == 2
+            and type(part_hash) is ModuloHash
+            and jax.default_backend() == "tpu"
+            and table.num_rows >= (1 << 22)
+            and all(jnp.asarray(c).dtype == jnp.int32 for c in num_cols)):
+        # reference-scale fast path: rotation-packed int32 sort key through
+        # the Pallas kv global sort (see _reorder_rot2_kv) — certified by
+        # a fenced key-range check (the bit-field packing must cover the
+        # actual keys, and t must stay below the MAXI32 padding sentinel)
+        keys = jnp.asarray(table.key_column(jattr))
+        payload_idx = 1 if jattr == 1 else 0   # the non-key column (0-based)
+        payload = jnp.asarray(table.columns[payload_idx])
+        st = np.asarray(jnp.stack([jnp.min(keys), jnp.max(keys)]))
+        vmin = part_hash._min
+        kmin, kmax = int(st[0]), int(st[1])
+        if kmin >= vmin:
+            B = max(1, (kmax - vmin + 1).bit_length())
+            b = part_hash._log2k
+            skip = part_hash._skipbits
+            restbits = max(B - b, skip)
+            if b + restbits <= 30:
+                key_s, pay_s, so = _reorder_rot2_kv(
+                    keys, payload, part_hash, nparts, vmin, skip, b,
+                    restbits)
+                out_cols = [None, None]
+                out_cols[jattr - 1] = key_s
+                out_cols[payload_idx] = pay_s
+                out = Table(table.schema, out_cols, table.page_size)
+                t_dev = _rot_pack(keys, vmin, skip, b, restbits, nparts,
+                                  int(keys.shape[0]))
+                return PartitionedTable(
+                    out, so[0], so[1], part_hash, part_attr,
+                    # a CONSISTENT permutation of the same grouping; ties
+                    # between duplicate keys may differ from the physical
+                    # kv-sorted layout (bitonic networks are unstable) —
+                    # no consumer pairs perm rows with table rows today
+                    lambda: jnp.argsort(t_dev, stable=True))
     if (len(num_cols) == 2 and len(table.columns) == 2
             and all(jnp.asarray(c).dtype == jnp.int32 for c in num_cols)):
         outs2, so_dev = _reorder_device_packed2(

@@ -11,6 +11,21 @@ Experiment: trace the whole pass sequence inside ONE jit so XLA emits a
 single program with 24 back-to-back custom calls (no host dispatch
 between passes).  Also measures GSORT_BITS=4 grouping (fewer passes =
 fewer gaps) enabled by the raised scoped-vmem budget.
+
+RESULT (committed: results_tpu27r5/gsort_fuse_log): fusion changes
+NOTHING (147.6 ms both ways) — the dispatched chain already pipelines
+because each ~6 ms pass outlasts the ~1.6 ms dispatch, so the gap only
+binds sub-dispatch-length kernels (the copy chain that exposed it).
+bits=4 grouping gives 140.7 ms (−5%, adopted).  Subtracting the one
+~25 ms measurement fence, device time ≈ 122/115 ms — matching the r4
+stage-floor argument (378 stages ≈ 95% VPU issue ≈ 124 ms).  With the
+r5 chip roofline showing the gsort at 55% of the engine's own streaming
+rate, the sort is confirmed VPU-stage-bound, not DMA-bound: the only
+path below ~100 ms is a lower-stage-count algorithm, and the splitter/
+sample-sort family needs per-run dynamic-LENGTH DMA descriptors Mosaic
+cannot express (static slice sizes), degenerating into the small-DMA
+scatter regime measured 2-3.6x slower in r3 (radix_crossover_log).
+Closed with measured numbers on all three sides.
 """
 
 import sys, os  # noqa: E401

@@ -302,7 +302,9 @@ def sort_tiles(keys2d, **kwargs):
 # level's stage bits (those are j-1..0) — so the direction is one traced
 # scalar per group, broadcast over the stack.
 
-GSORT_BITS = 3
+GSORT_BITS = 4   # 16-member groups: fewer full HBM passes per level.
+# Admissible since the scoped-vmem budget is raised on the pass kernel
+# (r5): measured 147.6 -> 140.7 ms single-fenced at 2^27.
 
 # Phase-A blocks span 2^GSORT_PHASE_A_BITS tiles (2^18 elements at the
 # default tile): the in-VMEM bitonic network over the bigger block replaces
@@ -484,7 +486,7 @@ def global_sort_tiles(keys2d, *, tile: int = 65536, interpret: bool = False):
 # halves the member count (GSORT_KV_BITS=2) and the phase-A block
 # (GSORT_KV_PHASE_A_BITS=1): buffers are 2 arrays x 2 slots x in/out.
 
-GSORT_KV_BITS = 2
+GSORT_KV_BITS = 3
 GSORT_KV_PHASE_A_BITS = 1
 
 

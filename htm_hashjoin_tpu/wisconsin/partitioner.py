@@ -82,36 +82,42 @@ class PartitionedTable:
         return np.arange(s, e)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def _rot_pack(keys, vmin: int, skip: int, b: int, restbits: int,
-              nparts: int, n_pad: int):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def _rot_pack(keys, bias, vmin: int, skip: int, b: int, restbits: int,
+              bias_bits: int, n_pad: int):
     """Rotation packing for a pure-bitfield ModuloHash: bucket =
     ((key-min) & mask) >> skip is a bit-slice of v = key-min, so
-    t = (bucket << restbits) | rest(v) is an int32 BIJECTION ordered by
-    (bucket, rest) — one int32 sort key carries the partition id AND the
-    key.  Returns t padded to n_pad with MAXI32 (sorts last)."""
+    t = (bucket << (bias_bits+restbits)) | (bias << restbits) | rest(v)
+    is an int32 sort key ordered by (bucket, bias, key) — partition id,
+    secondary rank AND key in one value (bias carries the Independent
+    partitioner's shard id; bias_bits = 0 when there is none).  Returns
+    t padded to n_pad with MAXI32 (sorts last)."""
     v = (keys - jnp.int32(vmin)).astype(jnp.int32)
     bucket = (v >> skip) & jnp.int32((1 << b) - 1)
     hi = (v >> (skip + b)) << skip
     lo = v & jnp.int32((1 << skip) - 1)
-    t = (bucket << restbits) | hi | lo
+    t = (bucket << (bias_bits + restbits)) | (hi | lo)
+    if bias_bits:
+        t = t | (bias.astype(jnp.int32) << restbits)
     return jnp.concatenate(
         [t, jnp.full((n_pad - t.shape[0],), jnp.int32((1 << 31) - 1),
                      jnp.int32)])
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _rot_unpack(t_s, pay_s, vmin: int, skip: int, b: int, restbits: int,
-                nparts: int):
+                bias_bits: int, nparts: int):
     """Invert the rotation packing on the sorted stream + partition bounds
-    (partition p starts at the first t >= p << restbits)."""
+    (partition p starts at the first t >= p << (bias_bits+restbits); the
+    bias bits are scheduling metadata and are simply dropped)."""
     rest = t_s & jnp.int32((1 << restbits) - 1)
-    bucket = t_s >> restbits
+    bucket = t_s >> (bias_bits + restbits)
     lo = rest & jnp.int32((1 << skip) - 1)
     hi = (rest >> skip) << (skip + b)
     key_s = (hi | (bucket << skip) | lo) + jnp.int32(vmin)
     n = t_s.shape[0]
-    queries = (jnp.arange(nparts, dtype=jnp.int32) << restbits)
+    queries = (jnp.arange(nparts, dtype=jnp.int32)
+               << (bias_bits + restbits))
     bounds = jnp.searchsorted(t_s, queries, side="left",
                               method="scan").astype(jnp.int64)
     ends = jnp.concatenate([bounds[1:], jnp.full((1,), n, jnp.int64)])
@@ -120,6 +126,7 @@ def _rot_unpack(t_s, pay_s, vmin: int, skip: int, b: int, restbits: int,
 
 def _reorder_rot2_kv(keys, payload, hashfn: "ModuloHash", nparts: int,
                      vmin: int, skip: int, b: int, restbits: int,
+                     bias=None, bias_bits: int = 0,
                      interpret: bool = False):
     """Partition split through the Pallas key-value global sort: the
     rotation-packed int32 sort key carries (bucket, key); the payload
@@ -138,7 +145,8 @@ def _reorder_rot2_kv(keys, payload, hashfn: "ModuloHash", nparts: int,
     n_tiles = max(1, (n + tile - 1) // tile)
     n_tiles = 1 << (n_tiles - 1).bit_length()
     n_pad = n_tiles * tile
-    t = _rot_pack(keys, vmin, skip, b, restbits, nparts, n_pad)
+    t = _rot_pack(keys, bias if bias is not None else keys, vmin, skip,
+                  b, restbits, bias_bits, n_pad)
     pay = jnp.concatenate(
         [payload.astype(jnp.int32),
          jnp.zeros((n_pad - n,), jnp.int32)])
@@ -146,7 +154,8 @@ def _reorder_rot2_kv(keys, payload, hashfn: "ModuloHash", nparts: int,
                                   pay.reshape(-1, LANES), tile=tile,
                                   interpret=interpret)
     key_s, pay_s, so = _rot_unpack(ks.reshape(-1)[:n], vs.reshape(-1)[:n],
-                                   vmin, skip, b, restbits, nparts)
+                                   vmin, skip, b, restbits, bias_bits,
+                                   nparts)
     return key_s, pay_s, np.asarray(so)
 
 
@@ -224,10 +233,11 @@ def _reorder(table: Table, jattr: int, buckets: jax.Array, nparts: int,
     num_cols = [c for c in table.columns
                 if not (isinstance(c, np.ndarray) and c.dtype == object)]
     stride = bias_bound if rank_bias is not None else 1
-    if (rank_bias is None and len(table.columns) == 2
+    if (len(table.columns) == 2
             and type(part_hash) is ModuloHash
             and jax.default_backend() == "tpu"
             and table.num_rows >= (1 << 22)
+            and (rank_bias is None or 1 <= bias_bound <= 256)
             and all(jnp.asarray(c).dtype == jnp.int32 for c in num_cols)):
         # reference-scale fast path: rotation-packed int32 sort key through
         # the Pallas kv global sort (see _reorder_rot2_kv) — certified by
@@ -244,16 +254,20 @@ def _reorder(table: Table, jattr: int, buckets: jax.Array, nparts: int,
             b = part_hash._log2k
             skip = part_hash._skipbits
             restbits = max(B - b, skip)
-            if b + restbits <= 30:
+            bias_bits = (0 if rank_bias is None
+                         else max(1, (bias_bound - 1).bit_length()))
+            if b + bias_bits + restbits <= 30:
                 key_s, pay_s, so = _reorder_rot2_kv(
                     keys, payload, part_hash, nparts, vmin, skip, b,
-                    restbits)
+                    restbits, bias=rank_bias, bias_bits=bias_bits)
                 out_cols = [None, None]
                 out_cols[jattr - 1] = key_s
                 out_cols[payload_idx] = pay_s
                 out = Table(table.schema, out_cols, table.page_size)
-                t_dev = _rot_pack(keys, vmin, skip, b, restbits, nparts,
-                                  int(keys.shape[0]))
+                t_dev = _rot_pack(
+                    keys, rank_bias if rank_bias is not None else keys,
+                    vmin, skip, b, restbits, bias_bits,
+                    int(keys.shape[0]))
                 return PartitionedTable(
                     out, so[0], so[1], part_hash, part_attr,
                     # a CONSISTENT permutation of the same grouping; ties

@@ -882,3 +882,19 @@ def test_rotation_kv_split_with_shard_bias():
         assert changes <= nthreads - 1
         assert np.array_equal(np.sort(key_s[seg]),
                               np.sort(keys[buckets == p]))
+
+
+def test_steal_cuts_int32_matches_int64():
+    """The certified int32 steal-cost formulation (used when
+    n * (max_occupancy + 1) < 2^31) must produce identical cut points and
+    chunk balances to the general int64 path."""
+    import jax.numpy as jnp
+
+    from htm_hashjoin_tpu.wisconsin.joiners import _steal_cuts
+    rng = np.random.default_rng(5)
+    occ = jnp.asarray(rng.integers(0, 7, 1 << 12).astype(np.int32))
+    buckets = jnp.asarray(rng.integers(0, 1 << 12, 20000).astype(np.int32))
+    b64, bal64 = _steal_cuts(occ, buckets, 8, False)
+    b32, bal32 = _steal_cuts(occ, buckets, 8, True)
+    assert np.array_equal(np.asarray(b64), np.asarray(b32))
+    assert np.array_equal(np.asarray(bal64), np.asarray(bal32))

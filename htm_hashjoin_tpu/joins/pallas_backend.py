@@ -36,7 +36,12 @@ DEFAULT_TILE = 65536
 # chunk loop is dynamic (any count streams fine); the budget only sizes the
 # S-side end padding and draws the inline/repair line.  16 keeps the
 # moderate-skew tiles (5-16 chunk bands at zipf θ≈0.75-1.0) on the ~17
-# stages/chunk inline path instead of paying the ~120 ms repair round.
+# stages/chunk inline path.  Raising it to 32 was MEASURED a wash (r5):
+# at θ=1.0/1.25 the flagged tiles' bands exceed even 32 chunks (true
+# heavy hitters), so the repair round still runs and the absorbed
+# moderate tiles' inline cost equals the repair's marginal saving
+# (370.3/383.6 vs 368.2/380.5 Mt/s — noise); the remaining skew gap is
+# the repair's ~55 ms FIXED overhead, not the budget.
 MAX_CHUNKS_DEFAULT = 16
 
 
